@@ -1,0 +1,64 @@
+"""Benchmark: rays/s on the example_02-class spectrometer, one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the CPU reference (PrincetonUniversity/xicsrt v0.8.13) measured at
+7.7e5 rays/s on the example_02 aperture+detector scenario (BASELINE.md); the
+richer spectrometer benched here (source -> aperture -> Bragg crystal ->
+detector) is strictly more work per ray, so vs_baseline is conservative.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def build(intensity, num_iter):
+    from __graft_entry__ import _spectrometer_config
+    from xicsrt_tpu.engine import Pipeline
+
+    config = _spectrometer_config(
+        intensity=intensity, num_iter=num_iter, keep_images=True
+    )
+    pipeline = Pipeline(config)
+    run = pipeline.make_run(num_iter, keep_history=False, keep_images=True)
+    return pipeline, run
+
+
+def main():
+    import jax
+
+    intensity = 1 << 22  # 4.19e6 rays per iteration
+    num_iter = 8
+    pipeline, run = build(intensity, num_iter)
+    jitted = jax.jit(run)
+    key = jax.random.key(0)
+
+    # Warmup/compile.
+    out = jax.block_until_ready(jitted(pipeline.params, key))
+
+    reps = 3
+    t0 = time.perf_counter()
+    for r in range(reps):
+        out = jitted(pipeline.params, jax.random.fold_in(key, r))
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    total_rays = intensity * num_iter * reps
+    rays_per_s = total_rays / dt
+    baseline = 7.7e5  # CPU reference example_02 rays/s (BASELINE.md)
+    detector_hits = int(out["meta"]["detector"])
+    result = {
+        "metric": "rays_per_second_example02_spectrometer",
+        "value": float(f"{rays_per_s:.4g}"),
+        "unit": "rays/s",
+        "vs_baseline": float(f"{rays_per_s / baseline:.4g}"),
+    }
+    print(json.dumps(result))
+    # Sanity counters on stderr-ish secondary line kept out of the JSON line.
+    assert detector_hits > 0
+
+
+if __name__ == "__main__":
+    main()

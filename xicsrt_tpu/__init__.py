@@ -1,0 +1,25 @@
+"""xicsrt_tpu: a TPU-native, differentiable Monte-Carlo x-ray raytracing
+framework (JAX/XLA/Pallas).
+
+Provides the capabilities of PrincetonUniversity/xicsrt — photon-accurate
+plasma sources, Bragg-crystal optics, aperture/filter chains, detector
+images — redesigned TPU-first: rays are fixed-shape sharded arrays, the optic
+chain compiles to one fused XLA program, randomness is stateless key folding,
+and multi-chip scaling uses `jax.sharding` collectives instead of
+multiprocessing.
+"""
+
+from xicsrt_tpu._version import __version__  # noqa: F401
+
+# Importing the element packages populates the class registry.
+import xicsrt_tpu.filters  # noqa: E402,F401
+import xicsrt_tpu.optics  # noqa: E402,F401
+import xicsrt_tpu.sources  # noqa: E402,F401
+from xicsrt_tpu.engine import combine_raytrace, raytrace, raytrace_single  # noqa: F401
+from xicsrt_tpu.public import get_element  # noqa: F401
+from xicsrt_tpu.utils.version import warn_version  # noqa: F401
+
+# The reference exposes a separate multiprocessing entry point
+# (xicsrt.raytrace_mp). Here a single entry point covers 1..N chips; the alias
+# is kept for drop-in compatibility.
+raytrace_mp = raytrace

@@ -1,0 +1,394 @@
+"""Raytracing engine: config -> compiled pipeline -> results dict.
+
+Replaces the reference engine stack (``xicsrt/xicsrt_raytrace.py`` +
+``xicsrt/objects/_Dispatcher.py`` + ``xicsrt/xicsrt_multiprocessing.py``)
+with one mechanism:
+
+- the element chain is *compiled once* into a pure, differentiable function
+  ``iteration(params, key) -> {meta, image, history}`` (the reference
+  re-imports and re-instantiates every element per run,
+  ``_Dispatcher.py:97-113``);
+- iterations run inside a single jit (``lax.scan`` over per-iteration keys)
+  when history is off, so images/meta accumulate on device;
+- randomness is a stateless key tree: ``fold_in(root, run) -> fold_in(iter)
+  -> split per element`` — supersedes the reference's global
+  ``np.random.seed(seed + run)`` scheme (``xicsrt_raytrace.py:60-63,111``);
+- multi-run/multi-process scale-out collapses into the sharded engine
+  (``xicsrt_tpu.parallel``): rays shard over chips, images/meta psum.
+
+The results dict keeps the reference layout: ``config``, ``total`` (meta +
+image), ``found``/``lost`` (per-element ray history).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from xicsrt_tpu import dispatch
+from xicsrt_tpu.config import get_config
+from xicsrt_tpu.ops.binning import bin_image
+from xicsrt_tpu.rays import Rays
+from xicsrt_tpu.utils.profiler import profiler
+
+log = logging.getLogger("xicsrt_tpu")
+
+
+class Pipeline:
+    """A config compiled into pure generate/trace functions + params pytree."""
+
+    def __init__(self, config: dict):
+        self.config = get_config(config)
+        general = self.config["general"]
+        self.general = general
+        if str(general.get("dtype", "float32")).lower() in ("float64", "f64"):
+            # Validation mode: f64 requires the global x64 switch.
+            jax.config.update("jax_enable_x64", True)
+
+        profiler.start("pipeline_build")
+        self.filters = dispatch.build_section(self.config, "filters")
+        self.sources = dispatch.build_section(self.config, "sources")
+        self.optics = dispatch.build_section(self.config, "optics")
+        if len(self.sources) != 1:
+            # Same restriction as the reference dispatcher
+            # (_Dispatcher.py:142-164).
+            raise NotImplementedError(
+                f"Exactly one source is required ({len(self.sources)} given)."
+            )
+        self.source = self.sources[0]
+
+        filter_map = {f.name: f for f in self.filters}
+        filter_fns = []
+        source_filters = self.source.param.get("filters")
+        source_filters = [] if source_filters is None else list(source_filters)
+        for fname in source_filters:
+            if fname not in filter_map:
+                raise KeyError(f'Source filter "{fname}" is not defined.')
+            filter_fns.append((fname, filter_map[fname].make_filter()))
+
+        self.generate = self.source.make_generate(filter_fns)
+        self.optic_traces = [(o.name, o.make_trace()) for o in self.optics]
+
+        self.params = {
+            "sources": {self.source.name: self.source.build_params()},
+            "optics": {o.name: o.build_params() for o in self.optics},
+            "filters": {f.name: f.build_params() for f in self.filters},
+        }
+        # Element order as configured (jit pytree outputs come back with
+        # dict keys sorted, so order must be tracked explicitly).
+        self.element_names = [self.source.name] + [o.name for o in self.optics]
+        profiler.stop("pipeline_build")
+
+    # ------------------------------------------------------------------
+    @property
+    def num_rays(self) -> int:
+        return self.source.num_rays
+
+    def image_specs(self) -> dict:
+        out = {}
+        for o in self.optics:
+            if o.enable_image:
+                out[o.name] = (o.image_shape, float(o.pixel_size))
+        return out
+
+    # ------------------------------------------------------------------
+    def make_iteration(self, keep_history: bool | None = None,
+                       keep_images: bool | None = None):
+        """Build ``iteration(params, key) -> dict`` for one trace pass."""
+        g = self.general
+        if keep_history is None:
+            keep_history = bool(g["keep_history"])
+        if keep_images is None:
+            keep_images = bool(g["keep_images"])
+        source_name = self.source.name
+        generate = self.generate
+        optic_traces = self.optic_traces
+        image_specs = self.image_specs()
+
+        def iteration(params, key):
+            k_source, k_optics = jax.random.split(key)
+            rays = generate(
+                params["sources"][source_name], params["filters"], k_source
+            )
+            meta = {source_name: rays.num_alive()}
+            history = {source_name: rays} if keep_history else {}
+            images = {}
+            for idx, (name, trace) in enumerate(optic_traces):
+                rays, x_local = trace(
+                    params["optics"][name], rays, jax.random.fold_in(k_optics, idx)
+                )
+                meta[name] = rays.num_alive()
+                if keep_history:
+                    history[name] = rays
+                if keep_images and name in image_specs:
+                    (nx, ny), pixel_size = image_specs[name]
+                    images[name] = bin_image(
+                        x_local, rays.mask, rays.weight, nx, ny, pixel_size
+                    )
+            return {"meta": meta, "image": images, "history": history}
+
+        return iteration
+
+    def make_run(self, num_iter: int, keep_history: bool | None = None,
+                 keep_images: bool | None = None):
+        """Build ``run(params, key) -> dict`` executing ``num_iter``
+        iterations inside one jitted scan.
+
+        Without history: images/meta accumulate on device (sum over
+        iterations, exactly the reference's image-sum semantics,
+        ``xicsrt_raytrace.py:327-354``). With history: per-iteration ray
+        states are stacked on the leading axis.
+        """
+        iteration = self.make_iteration(keep_history, keep_images)
+        g = self.general
+        if keep_history is None:
+            keep_history = bool(g["keep_history"])
+
+        def run(params, key):
+            keys = jax.random.split(key, num_iter)
+
+            if not keep_history:
+                def body(carry, k):
+                    out = iteration(params, k)
+                    acc = {
+                        "meta": {
+                            n: carry["meta"][n] + out["meta"][n]
+                            for n in out["meta"]
+                        },
+                        "image": {
+                            n: carry["image"][n] + out["image"][n]
+                            for n in out["image"]
+                        },
+                        "history": {},
+                    }
+                    return acc, None
+
+                first = iteration(params, keys[0])
+                if num_iter == 1:
+                    return first
+                acc, _ = jax.lax.scan(body, first, keys[1:])
+                return acc
+
+            # History mode: stack per-iteration outputs.
+            outs = [iteration(params, k) for k in keys]
+            meta = {
+                n: jnp.sum(jnp.stack([o["meta"][n] for o in outs]))
+                for n in outs[0]["meta"]
+            }
+            image = {
+                n: sum(o["image"][n] for o in outs) for n in outs[0]["image"]
+            }
+            history = {
+                n: _concat_rays([o["history"][n] for o in outs])
+                for n in outs[0]["history"]
+            }
+            return {"meta": meta, "image": image, "history": history}
+
+        return run
+
+
+def _concat_rays(bundles):
+    return Rays(
+        origin=jnp.concatenate([b.origin for b in bundles]),
+        direction=jnp.concatenate([b.direction for b in bundles]),
+        wavelength=jnp.concatenate([b.wavelength for b in bundles]),
+        weight=jnp.concatenate([b.weight for b in bundles]),
+        mask=jnp.concatenate([b.mask for b in bundles]),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Host-side orchestration.
+# ---------------------------------------------------------------------------
+
+def _root_key(general: dict):
+    seed = general.get("random_seed")
+    if seed is None:
+        seed = np.random.SeedSequence().entropy % (2**63)
+    return jax.random.key(int(seed))
+
+
+def _sort_history(history_dev: dict, names: list, max_lost: int,
+                  rng: np.random.Generator) -> tuple:
+    """Split device history into found/lost, truncating lost rays.
+
+    Equivalent of ``_sort_raytrace`` (``xicsrt_raytrace.py:229-278``), with
+    the additional rule that rays dead at the source (Poisson budget padding)
+    are dropped entirely rather than counted as lost.
+
+    ``names`` is the element order as configured (source first, final optic
+    last); jit outputs have key-sorted dicts, so order is passed explicitly.
+    """
+    if not history_dev:
+        return {}, {}
+    source_name = names[0]
+    last = names[-1]
+    final_mask = np.asarray(history_dev[last].mask)
+    born_mask = np.asarray(history_dev[source_name].mask)
+    w_found = np.flatnonzero(final_mask)
+    w_lost = np.flatnonzero(born_mask & ~final_mask)
+    if len(w_lost) > max_lost:
+        w_lost = rng.choice(w_lost, size=max_lost, replace=False)
+
+    found, lost = {}, {}
+    for name in names:
+        r = history_dev[name]
+        arrays = {
+            "origin": np.asarray(r.origin),
+            "direction": np.asarray(r.direction),
+            "wavelength": np.asarray(r.wavelength),
+            "weight": np.asarray(r.weight),
+            "mask": np.asarray(r.mask),
+        }
+        found[name] = {k: v[w_found] for k, v in arrays.items()}
+        lost[name] = {k: v[w_lost] for k, v in arrays.items()}
+    return found, lost
+
+
+def raytrace_single(config: dict, _pipeline: Pipeline | None = None,
+                    _run_index: int = 0) -> dict:
+    """One raytracing run (all iterations), returning a results dict.
+
+    Equivalent of ``xicsrt_raytrace.raytrace_single`` (:87-175).
+    """
+    pipeline = _pipeline or Pipeline(config)
+    config = pipeline.config
+    g = config["general"]
+    num_iter = int(g["number_of_iter"])
+    keep_history = bool(g["keep_history"])
+
+    run_fn = pipeline.make_run(num_iter)
+    jitted = jax.jit(run_fn)
+
+    root = _root_key(g)
+    run_key = jax.random.fold_in(root, _run_index)
+
+    profiler.start("raytrace_run")
+    out = jitted(pipeline.params, run_key)
+    out = jax.block_until_ready(out)
+    profiler.stop("raytrace_run")
+
+    rng = np.random.default_rng(
+        None if g["random_seed"] is None else int(g["random_seed"]) + _run_index
+    )
+    found, lost = _sort_history(
+        out["history"], pipeline.element_names, int(g["history_max_lost"]), rng
+    )
+
+    result = {
+        "config": config,
+        "total": {
+            "meta": {
+                name: {"num_out": int(np.asarray(out["meta"][name]))}
+                for name in pipeline.element_names
+                if name in out["meta"]
+            },
+            "image": {name: np.asarray(img) for name, img in out["image"].items()},
+        },
+        "found": {"meta": {}, "history": found},
+        "lost": {"meta": {}, "history": lost},
+    }
+    return result
+
+
+def raytrace(config: dict) -> dict:
+    """Top-level entry: multiple runs, combined results, optional saving.
+
+    Equivalent of ``xicsrt_raytrace.raytrace`` (:28-84). Runs execute
+    sequentially on the available devices (each run re-folds the RNG key);
+    for multi-chip execution of a *single* run see ``xicsrt_tpu.parallel``.
+    """
+    from xicsrt_tpu import io as xio
+
+    t_start = time.time()
+    pipeline = Pipeline(config)
+    config = pipeline.config
+    g = config["general"]
+    num_runs = int(g["number_of_runs"])
+
+    outputs = []
+    for run in range(num_runs):
+        g["output_run_suffix"] = f"{run:04d}"
+        result = raytrace_single(config, _pipeline=pipeline, _run_index=run)
+        if g["save_images"]:
+            xio.save_images(result)
+        outputs.append(result)
+
+    result = combine_raytrace(outputs)
+    g["output_run_suffix"] = None
+
+    if g["save_config"]:
+        xio.save_config(config)
+    if g["save_images"]:
+        xio.save_images(result)
+    if g["save_results"]:
+        xio.save_results(result)
+    if g["print_results"]:
+        print_raytrace(result)
+    log.info("raytrace completed in %0.2f s", time.time() - t_start)
+    return result
+
+
+def combine_raytrace(input_list: list) -> dict:
+    """Combine results dicts from multiple runs.
+
+    Equivalent of ``xicsrt_raytrace.combine_raytrace`` (:281-393): meta
+    counters sum, images sum (with shape checks), histories concatenate.
+    """
+    if len(input_list) == 1:
+        return input_list[0]
+    output = {
+        "config": input_list[0]["config"],
+        "total": {"meta": {}, "image": {}},
+        "found": {"meta": {}, "history": {}},
+        "lost": {"meta": {}, "history": {}},
+    }
+    for name in input_list[0]["total"]["meta"]:
+        output["total"]["meta"][name] = {
+            "num_out": int(
+                sum(r["total"]["meta"][name]["num_out"] for r in input_list)
+            )
+        }
+    for name, img in input_list[0]["total"]["image"].items():
+        for r in input_list[1:]:
+            if r["total"]["image"][name].shape != img.shape:
+                raise ValueError(f"Image shapes for {name} do not match across runs.")
+        output["total"]["image"][name] = sum(
+            r["total"]["image"][name] for r in input_list
+        )
+    for section in ("found", "lost"):
+        names = input_list[0][section]["history"].keys()
+        for name in names:
+            keys = input_list[0][section]["history"][name].keys()
+            output[section]["history"][name] = {
+                k: np.concatenate(
+                    [r[section]["history"][name][k] for r in input_list]
+                )
+                for k in keys
+            }
+    return output
+
+
+def print_raytrace(results: dict) -> None:
+    """Human summary: generated/detected counts and Poisson-error efficiency
+    (cf. ``xicsrt_raytrace.print_raytrace`` :414-431)."""
+    meta = results["total"]["meta"]
+    names = list(meta.keys())
+    if not names:
+        return
+    num_generated = meta[names[0]]["num_out"]
+    num_detected = meta[names[-1]]["num_out"]
+    efficiency = num_detected / max(num_generated, 1)
+    error = np.sqrt(max(num_detected, 1)) / max(num_generated, 1)
+    print("")
+    print("Rays Generated: {:0.4e}".format(num_generated))
+    for name in names[1:]:
+        print("Rays on {:12s}: {:0.4e}".format(name, meta[name]["num_out"]))
+    print("Efficiency: {:0.4e} +/- {:0.2e} ({:0.2f}%)".format(
+        efficiency, error, efficiency * 100))
+    print("")

@@ -1,0 +1,133 @@
+"""Sharded raytracing over a JAX device mesh.
+
+Replaces the reference's process-pool data parallelism
+(``xicsrt/xicsrt_multiprocessing.py:37-62``: fork per run, pickle results
+back) and its slurm-array multi-node recipe with one in-program mechanism:
+
+- the ray batch axis is sharded over a 1-D ``rays`` mesh via ``shard_map``;
+- every device folds its mesh position into the RNG key, so the sharded run
+  draws *different* rays per device while remaining reproducible;
+- detector images and meta counters are ``psum``-reduced across the mesh over
+  ICI — the in-program equivalent of ``combine_raytrace``'s image/meta sums
+  (``xicsrt_raytrace.py:327-354``);
+- ray history (the only gather-shaped output) stays device-sharded on axis 0
+  and materializes as a global array only if the host reads it.
+
+Multi-host: initialize ``jax.distributed`` before building the mesh and pass
+the global device list; the same code then spans DCN.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from xicsrt_tpu.engine import Pipeline
+
+
+def ray_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """A 1-D mesh over the ray axis."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), ("rays",))
+
+
+def _shard_intensity(config: dict, n_devices: int) -> dict:
+    """Divide source intensity across devices, preserving the total.
+
+    Non-Poisson sources need integer per-device counts; the remainder is
+    dropped (documented: totals round down to a multiple of n_devices).
+    Poisson sources keep exact expected totals (fractional rates allowed).
+    """
+    import copy
+
+    config = copy.deepcopy(config)
+    for source_config in config.get("sources", {}).values():
+        intensity = float(source_config.get("intensity", 0.0))
+        if source_config.get("use_poisson", False):
+            source_config["intensity"] = intensity / n_devices
+        else:
+            source_config["intensity"] = max(int(intensity // n_devices), 1)
+    return config
+
+
+def make_sharded_run(config: dict, num_iter: int | None = None,
+                     mesh: Mesh | None = None, n_devices: int | None = None,
+                     keep_history: bool | None = None,
+                     keep_images: bool | None = None):
+    """Compile a full multi-iteration run sharded over the ray axis.
+
+    Returns ``(jitted_fn, pipeline, mesh)`` where ``jitted_fn(params, key)``
+    produces the same output pytree as ``Pipeline.make_run`` but with rays
+    split across devices: meta/image are globally reduced, history arrays are
+    sharded on axis 0.
+    """
+    if mesh is None:
+        mesh = ray_mesh(n_devices)
+    ndev = mesh.devices.size
+
+    sharded_config = _shard_intensity(config, ndev)
+    pipeline = Pipeline(sharded_config)
+    g = pipeline.general
+    if num_iter is None:
+        num_iter = int(g["number_of_iter"])
+    if keep_history is None:
+        keep_history = bool(g["keep_history"])
+    run_fn = pipeline.make_run(num_iter, keep_history=keep_history,
+                               keep_images=keep_images)
+
+    def device_run(params, key):
+        idx = jax.lax.axis_index("rays")
+        out = run_fn(params, jax.random.fold_in(key, idx))
+        meta = {k: jax.lax.psum(v, "rays") for k, v in out["meta"].items()}
+        image = {k: jax.lax.psum(v, "rays") for k, v in out["image"].items()}
+        return {"meta": meta, "image": image, "history": out["history"]}
+
+    # Output specs: reductions are replicated; history shards on the ray axis.
+    meta_spec = {k: P() for k in pipeline.element_names}
+    image_names = list(pipeline.image_specs().keys())
+    use_images = g["keep_images"] if keep_images is None else keep_images
+    image_spec = {k: P() for k in image_names} if use_images else {}
+    if keep_history:
+        history_spec = {
+            k: pipeline_history_struct() for k in pipeline.element_names
+        }
+    else:
+        history_spec = {}
+    out_specs = {"meta": meta_spec, "image": image_spec, "history": history_spec}
+
+    fn = shard_map(
+        device_run,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=out_specs,
+        check_rep=False,
+    )
+    return jax.jit(fn), pipeline, mesh
+
+
+def pipeline_history_struct():
+    """PartitionSpec template for a Rays pytree (5 leaves, axis-0 sharded)."""
+    from xicsrt_tpu.rays import Rays
+
+    return Rays(
+        origin=P("rays"),
+        direction=P("rays"),
+        wavelength=P("rays"),
+        weight=P("rays"),
+        mask=P("rays"),
+    )
+
+
+def scaling_efficiency(throughputs: dict) -> dict:
+    """Helper: compute scaling efficiency vs the 1-device throughput."""
+    base = throughputs.get(1)
+    if base is None or base <= 0:
+        return {}
+    return {n: (tp / (n * base)) for n, tp in throughputs.items()}
