@@ -96,6 +96,8 @@ class InteractCrystal(InteractMirror):
         params = super().build_params()
         params["crystal_spacing"] = self.as_array(self.param["crystal_spacing"])
         params["reflectivity"] = self.as_array(self.param["reflectivity"])
+        if not self.param["check_bragg"]:
+            return params
         if self.param["rocking_type"] in ("step", "gaussian"):
             fwhm = self.param["rocking_fwhm"]
             if fwhm is None:

@@ -152,13 +152,12 @@ class ShapeTorus(TraceElement):
         if len(convex) == 1:
             convex = [convex[0], convex[0]]
         table = {
-            (False, False): (3, -1.0, +1.0),
-            (False, True): (2, +1.0, +1.0),
-            (True, False): (1, +1.0, -1.0),
-            (True, True): (0, -1.0, -1.0),
+            (False, False): (-1.0, +1.0),
+            (False, True): (+1.0, +1.0),
+            (True, False): (+1.0, -1.0),
+            (True, True): (-1.0, -1.0),
         }
-        root_idx, major_adjust, center_sign = table[tuple(convex)]
-        self.param["root_idx"] = root_idx
+        major_adjust, center_sign = table[tuple(convex)]
         self.param["major_adjust"] = major_adjust  # torus_major = R + adj * r
         self.param["center_sign"] = center_sign
 
@@ -169,7 +168,6 @@ class ShapeTorus(TraceElement):
         return params
 
     def make_intersect(self):
-        root_idx = int(self.param["root_idx"])
         major_adjust = float(self.param["major_adjust"])
         center_sign = float(self.param["center_sign"])
 
@@ -207,9 +205,23 @@ class ShapeTorus(TraceElement):
             )
 
             roots = poly.solve_quartic(c0, c1, c2, c3, c4)
-            dist = roots[:, root_idx] + t_shift
-            finite = jnp.isfinite(dist)
-            m = rays.mask & finite & (dist > 0.0)
+            cand = roots + t_shift[:, None]  # distances along the ray
+
+            # Root selection: of the positive real intersections, take the
+            # one on the optic patch — the surface containing the frame
+            # origin, i.e. minimal |local z| of the hit. This generalizes
+            # the reference's solver-order-dependent root_idx table
+            # (``_ShapeTorus.py:72-89,175-181``) and also handles rays
+            # originating inside the torus hole. z_local is linear in t.
+            z0 = (rays.origin - frame.origin[None, :]) @ frame.zaxis
+            zd = rays.direction @ frame.zaxis
+            z_local = z0[:, None] + cand * zd[:, None]
+            valid = jnp.isfinite(cand) & (cand > 1e-6)
+            score = jnp.where(valid, jnp.abs(z_local), jnp.inf)
+            k = jnp.argmin(score, axis=-1)
+            rows = jnp.arange(cand.shape[0])
+            dist = cand[rows, k]
+            m = rays.mask & valid[rows, k]
             dist = jnp.where(m, dist, 0.0)
 
             # Normal (global frame): project the hit onto the torus axis

@@ -5,3 +5,10 @@ from xicsrt_tpu.sources.generic import (  # noqa: F401
     SourceFocused,
     SourceGeneric,
 )
+from xicsrt_tpu.sources.plasma import (  # noqa: F401
+    PlasmaCubic,
+    PlasmaCylindrical,
+    PlasmaGeneric,
+    PlasmaToroidal,
+    PlasmaToroidalDatafile,
+)
