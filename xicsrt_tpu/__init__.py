@@ -11,6 +11,20 @@ multiprocessing.
 
 from xicsrt_tpu._version import __version__  # noqa: F401
 
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA compilation cache: identical pipelines across processes skip
+# compilation entirely. Backends with remote compile services have high and
+# variable per-compile latency, so this matters even for small programs.
+if _jax.config.jax_compilation_cache_dir is None:
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.path.expanduser("~/.cache/xicsrt_tpu/jax_cache"),
+    )
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+
 # Importing the element packages populates the class registry.
 import xicsrt_tpu.filters  # noqa: E402,F401
 import xicsrt_tpu.optics  # noqa: E402,F401

@@ -61,6 +61,7 @@ def default_config() -> dict:
     # --- TPU execution options (new in xicsrt_tpu) ---
     g["dtype"] = "float32"
     g["interact_mode"] = "mc"
+    g["image_mode"] = "nearest"
     g["devices"] = None
     g["shard_rays"] = False
     g["block_iterations"] = True  # run all iterations inside one jit via scan

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from xicsrt_tpu import dispatch
 from xicsrt_tpu.config import get_config
-from xicsrt_tpu.ops.binning import bin_image
+from xicsrt_tpu.ops.binning import bin_image, bin_image_bilinear
 from xicsrt_tpu.rays import Rays
 from xicsrt_tpu.utils.profiler import profiler
 
@@ -109,6 +109,10 @@ class Pipeline:
         generate = self.generate
         optic_traces = self.optic_traces
         image_specs = self.image_specs()
+        # 'nearest' reproduces the reference's hard pixel assignment
+        # (_TraceObject.py:257-291); 'bilinear' is the differentiable splat.
+        image_mode = str(g.get("image_mode", "nearest")).lower()
+        bin_fn = bin_image_bilinear if image_mode == "bilinear" else bin_image
 
         def iteration(params, key):
             k_source, k_optics = jax.random.split(key)
@@ -127,7 +131,7 @@ class Pipeline:
                     history[name] = rays
                 if keep_images and name in image_specs:
                     (nx, ny), pixel_size = image_specs[name]
-                    images[name] = bin_image(
+                    images[name] = bin_fn(
                         x_local, rays.mask, rays.weight, nx, ny, pixel_size
                     )
             return {"meta": meta, "image": images, "history": history}
@@ -202,6 +206,17 @@ def _concat_rays(bundles):
     )
 
 
+def _concat_rays_np(bundles):
+    """Host-side bundle concatenation (numpy arrays from device_get)."""
+    return Rays(
+        origin=np.concatenate([np.asarray(b.origin) for b in bundles]),
+        direction=np.concatenate([np.asarray(b.direction) for b in bundles]),
+        wavelength=np.concatenate([np.asarray(b.wavelength) for b in bundles]),
+        weight=np.concatenate([np.asarray(b.weight) for b in bundles]),
+        mask=np.concatenate([np.asarray(b.mask) for b in bundles]),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Host-side orchestration.
 # ---------------------------------------------------------------------------
@@ -250,20 +265,70 @@ def _sort_history(history_dev: dict, names: list, max_lost: int,
     return found, lost
 
 
+def build_runner(config: dict, pipeline: Pipeline | None = None):
+    """Compile the per-run executor: plain jit, or ray-sharded over devices
+    when ``general.shard_rays`` is set and more than one device is present.
+
+    Returns (runner, pipeline).
+    """
+    g = get_config(config)["general"] if pipeline is None else None
+    if pipeline is not None:
+        g = pipeline.general
+    shard = bool(g.get("shard_rays"))
+    n_dev = g.get("devices") or len(jax.devices())
+    if shard and n_dev > 1:
+        from xicsrt_tpu.parallel import make_sharded_run
+
+        runner, pipeline, _ = make_sharded_run(
+            config if pipeline is None else pipeline.config, n_devices=n_dev
+        )
+        return runner, pipeline
+    pipeline = pipeline or Pipeline(config)
+    num_iter = int(pipeline.general["number_of_iter"])
+    if bool(g["keep_history"]) and num_iter > 1:
+        # History mode: compile ONE iteration and loop on the host —
+        # unrolling every iteration into a single XLA program multiplies
+        # compile time with no runtime benefit when history (whose arrays
+        # must come back to the host anyway) is kept.
+        iteration = jax.jit(pipeline.make_iteration())
+
+        def runner(params, key):
+            # Combine per-iteration outputs on the host: history arrays are
+            # host-bound anyway, and host numpy avoids a shower of tiny
+            # un-jitted device ops (each a separate XLA compilation).
+            keys = jax.random.split(key, num_iter)
+            outs = [jax.device_get(iteration(params, k)) for k in keys]
+            meta = {
+                n: sum(np.asarray(o["meta"][n]).item() for o in outs)
+                for n in outs[0]["meta"]
+            }
+            image = {
+                n: sum(np.asarray(o["image"][n]) for o in outs)
+                for n in outs[0]["image"]
+            }
+            history = {
+                n: _concat_rays_np([o["history"][n] for o in outs])
+                for n in outs[0]["history"]
+            }
+            return {"meta": meta, "image": image, "history": history}
+
+        return runner, pipeline
+    run_fn = pipeline.make_run(num_iter)
+    return jax.jit(run_fn), pipeline
+
+
 def raytrace_single(config: dict, _pipeline: Pipeline | None = None,
-                    _run_index: int = 0) -> dict:
+                    _run_index: int = 0, _runner=None) -> dict:
     """One raytracing run (all iterations), returning a results dict.
 
     Equivalent of ``xicsrt_raytrace.raytrace_single`` (:87-175).
     """
-    pipeline = _pipeline or Pipeline(config)
+    if _runner is None:
+        _runner, _pipeline = build_runner(config, _pipeline)
+    pipeline = _pipeline
     config = pipeline.config
     g = config["general"]
-    num_iter = int(g["number_of_iter"])
-    keep_history = bool(g["keep_history"])
-
-    run_fn = pipeline.make_run(num_iter)
-    jitted = jax.jit(run_fn)
+    jitted = _runner
 
     root = _root_key(g)
     run_key = jax.random.fold_in(root, _run_index)
@@ -306,7 +371,7 @@ def raytrace(config: dict) -> dict:
     from xicsrt_tpu import io as xio
 
     t_start = time.time()
-    pipeline = Pipeline(config)
+    runner, pipeline = build_runner(config)
     config = pipeline.config
     g = config["general"]
     num_runs = int(g["number_of_runs"])
@@ -314,7 +379,9 @@ def raytrace(config: dict) -> dict:
     outputs = []
     for run in range(num_runs):
         g["output_run_suffix"] = f"{run:04d}"
-        result = raytrace_single(config, _pipeline=pipeline, _run_index=run)
+        result = raytrace_single(
+            config, _pipeline=pipeline, _run_index=run, _runner=runner
+        )
         if g["save_images"]:
             xio.save_images(result)
         outputs.append(result)
