@@ -1,0 +1,160 @@
+"""Tests for the visualization layer and IO round-trips."""
+
+import os
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import numpy as np
+import pytest
+
+import xicsrt_tpu
+from xicsrt_tpu import io as xio
+from xicsrt_tpu.visual import plot2d, plot3d
+
+
+@pytest.fixture(scope="module")
+def results():
+    config = {
+        "general": {"number_of_iter": 1, "random_seed": 0, "print_results": False},
+        "sources": {
+            "source": {
+                "class_name": "XicsrtSourceDirected",
+                "intensity": 2000,
+                "wavelength": 3.9492,
+                "spread": np.radians(5.0),
+            }
+        },
+        "optics": {
+            "aperture": {
+                "class_name": "XicsrtOpticAperture",
+                "origin": [0.0, 0.0, 0.5],
+                "zaxis": [0.0, 0.0, -1.0],
+                "aperture": [{"shape": "circle", "size": [0.04]}],
+            },
+            "detector": {
+                "class_name": "XicsrtOpticDetector",
+                "origin": [0.0, 0.0, 1.0],
+                "zaxis": [0.0, 0.0, -1.0],
+                "xsize": 0.2,
+                "ysize": 0.2,
+            },
+        },
+    }
+    return xicsrt_tpu.raytrace(config)
+
+
+class TestPlot2D:
+    def test_plot_intersect(self, results, tmp_path):
+        fig = plot2d.plot_intersect(results, "detector")
+        out = tmp_path / "intersect.png"
+        fig.savefig(out)
+        assert out.stat().st_size > 1000
+
+    def test_plot_intersect_default_optic(self, results):
+        fig = plot2d.plot_intersect(results)
+        assert fig is not None
+
+    def test_plot_image(self, results, tmp_path):
+        fig = plot2d.plot_image(results, "detector")
+        out = tmp_path / "image.png"
+        fig.savefig(out)
+        assert out.stat().st_size > 1000
+
+    def test_plot_image_log(self, results):
+        fig = plot2d.plot_image(results, "detector", scale="log")
+        assert fig is not None
+
+
+class TestPlot3D:
+    def test_scene_build_and_save(self, results, tmp_path):
+        scene = plot3d.figure(backend="matplotlib")
+        plot3d.add_rays(scene, results, "found", max_rays=100)
+        plot3d.add_optics(scene, results["config"])
+        plot3d.add_sources(scene, results["config"])
+        out = tmp_path / "scene.png"
+        scene.show(filename=str(out))
+        assert out.stat().st_size > 1000
+
+
+class TestIO:
+    def test_results_hdf5_roundtrip(self, results, tmp_path):
+        path = str(tmp_path / "results.hdf5")
+        xio.save_results(results, path)
+        loaded = xio.load_results(path)
+        np.testing.assert_array_equal(
+            loaded["total"]["image"]["detector"],
+            results["total"]["image"]["detector"],
+        )
+        assert (
+            loaded["total"]["meta"]["detector"]["num_out"]
+            == results["total"]["meta"]["detector"]["num_out"]
+        )
+        np.testing.assert_allclose(
+            loaded["found"]["history"]["detector"]["origin"],
+            results["found"]["history"]["detector"]["origin"],
+        )
+
+    def test_results_pickle_roundtrip(self, results, tmp_path):
+        path = str(tmp_path / "results.pkl")
+        xio.save_results(results, path)
+        loaded = xio.load_results(path)
+        np.testing.assert_array_equal(
+            loaded["total"]["image"]["detector"],
+            results["total"]["image"]["detector"],
+        )
+
+    def test_config_json_roundtrip(self, results, tmp_path):
+        path = str(tmp_path / "config.json")
+        config = results["config"]
+        config["general"]["output_path"] = str(tmp_path)
+        xio.save_config(config, path)
+        loaded = xio.load_config(path)
+        assert loaded["sources"]["source"]["class_name"] == "XicsrtSourceDirected"
+        # refresh_config keeps user geometry.
+        np.testing.assert_allclose(
+            np.asarray(loaded["optics"]["detector"]["origin"]), [0, 0, 1.0]
+        )
+
+    def test_config_reload_retraces(self, results, tmp_path):
+        path = str(tmp_path / "config2.json")
+        config = results["config"]
+        xio.save_config(config, path)
+        loaded = xio.load_config(path)
+        loaded["general"]["print_results"] = False
+        r2 = xicsrt_tpu.raytrace(loaded)
+        assert (
+            r2["total"]["meta"]["source"]["num_out"]
+            == results["total"]["meta"]["source"]["num_out"]
+        )
+
+    def test_save_images_tif(self, results, tmp_path):
+        config = results["config"]
+        config["general"]["output_path"] = str(tmp_path)
+        config["general"]["make_directories"] = True
+        files = xio.save_images(results)
+        assert any(f.endswith(".tif") for f in files)
+        from PIL import Image
+
+        img = np.asarray(Image.open(files[0]))
+        assert img.sum() > 0
+
+
+class TestDocs:
+    def test_config_docs_harvested_across_mro(self):
+        from xicsrt_tpu.utils.docs import describe
+        import xicsrt_tpu.optics  # noqa: F401
+
+        text = describe("XicsrtOpticSphericalCrystal")
+        # Options from the crystal interaction, the shape, and the base.
+        assert "crystal_spacing" in text
+        assert "rocking_type" in text
+        assert "aperture" in text
+
+    def test_class_docstring_contains_options(self):
+        from xicsrt_tpu.dispatch import lookup
+
+        cls = lookup("XicsrtSourceGeneric")
+        assert "Configuration Options" in (cls.__doc__ or "")
+        assert "angular_dist" in cls.__doc__

@@ -42,7 +42,11 @@ def register(*names):
                 raise ValueError(f"Duplicate element registration: {n}")
             _REGISTRY[key] = cls
         cls._registered_names = names
-        return cls
+        # Assemble the "Configuration Options" docs from the MRO's
+        # default_config docstrings (the reference's @dochelper pattern).
+        from xicsrt_tpu.utils.docs import attach_config_doc
+
+        return attach_config_doc(cls)
 
     return deco
 

@@ -24,7 +24,7 @@ import math
 import jax
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from xicsrt_tpu.engine import Pipeline
 
@@ -107,7 +107,7 @@ def make_sharded_run(config: dict, num_iter: int | None = None,
         mesh=mesh,
         in_specs=(P(), P()),
         out_specs=out_specs,
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn), pipeline, mesh
 
