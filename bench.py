@@ -35,10 +35,12 @@ def main():
     jitted = jax.jit(run)
     key = jax.random.key(0)
 
-    # Warmup/compile.
-    out = jax.block_until_ready(jitted(pipeline.params, key))
+    # Warmup: compile + absorb the first-execution one-time costs (program
+    # upload / autotune), which are ~100x a steady-state call.
+    for w in range(3):
+        out = jax.block_until_ready(jitted(pipeline.params, jax.random.fold_in(key, 100 + w)))
 
-    reps = 3
+    reps = 5
     t0 = time.perf_counter()
     for r in range(reps):
         out = jitted(pipeline.params, jax.random.fold_in(key, r))

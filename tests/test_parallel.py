@@ -123,3 +123,26 @@ class TestShardedRun:
         fn, pipeline, mesh = make_sharded_run(_config(num_iter=1), mesh=mesh)
         out = fn(pipeline.params, jax.random.key(0))
         assert np.asarray(out["meta"]["source"]).item() == 8000
+
+
+class TestBinningTPU:
+    def test_pallas_binning_matches_reference_impl(self):
+        """Pallas histogram kernel == scatter reference (TPU only)."""
+        import jax
+
+        if jax.default_backend() == "cpu":
+            pytest.skip("Pallas TPU kernel requires TPU")
+        import jax.numpy as jnp
+
+        from xicsrt_tpu.ops.binning import bin_image
+        from xicsrt_tpu.ops.pallas_binning import bin_image_pallas
+
+        key = jax.random.key(0)
+        n = 1 << 16
+        x = jax.random.uniform(key, (n, 2), minval=-0.11, maxval=0.11)
+        xl = jnp.concatenate([x, jnp.zeros((n, 1))], axis=1)
+        mask = jnp.ones((n,), bool)
+        w = jnp.ones((n,))
+        a = bin_image(xl, mask, w, 100, 50, 0.002)
+        b = bin_image_pallas(xl, mask, w, 100, 50, 0.002)
+        assert bool(jnp.all(a == b))

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from xicsrt_tpu import dispatch
 from xicsrt_tpu.config import get_config
-from xicsrt_tpu.ops.binning import bin_image, bin_image_bilinear
+from xicsrt_tpu.ops.binning import bin_images_fused
 from xicsrt_tpu.rays import Rays
 from xicsrt_tpu.utils.profiler import profiler
 
@@ -111,8 +111,9 @@ class Pipeline:
         image_specs = self.image_specs()
         # 'nearest' reproduces the reference's hard pixel assignment
         # (_TraceObject.py:257-291); 'bilinear' is the differentiable splat.
+        # All images accumulate in ONE fused pass over the ray axis
+        # (separate chunked scans defeat XLA fusion of the trace pipeline).
         image_mode = str(g.get("image_mode", "nearest")).lower()
-        bin_fn = bin_image_bilinear if image_mode == "bilinear" else bin_image
 
         def iteration(params, key):
             k_source, k_optics = jax.random.split(key)
@@ -121,7 +122,8 @@ class Pipeline:
             )
             meta = {source_name: rays.num_alive()}
             history = {source_name: rays} if keep_history else {}
-            images = {}
+            image_inputs = []
+            image_names = []
             for idx, (name, trace) in enumerate(optic_traces):
                 rays, x_local = trace(
                     params["optics"][name], rays, jax.random.fold_in(k_optics, idx)
@@ -131,9 +133,13 @@ class Pipeline:
                     history[name] = rays
                 if keep_images and name in image_specs:
                     (nx, ny), pixel_size = image_specs[name]
-                    images[name] = bin_fn(
-                        x_local, rays.mask, rays.weight, nx, ny, pixel_size
+                    image_inputs.append(
+                        (x_local, rays.mask, rays.weight, nx, ny, pixel_size)
                     )
+                    image_names.append(name)
+            images = dict(
+                zip(image_names, bin_images_fused(image_inputs, image_mode))
+            )
             return {"meta": meta, "image": images, "history": history}
 
         return iteration
