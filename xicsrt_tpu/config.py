@@ -37,6 +37,7 @@ def default_config() -> dict:
     g["number_of_iter"] = 1
     g["number_of_runs"] = 1
     g["random_seed"] = None
+    g["pathlist"] = []
     g["strict_config_check"] = True
 
     g["output_path"] = None

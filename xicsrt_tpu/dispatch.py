@@ -51,6 +51,50 @@ def register(*names):
     return deco
 
 
+def load_plugin_paths(pathlist) -> list:
+    """Import user element modules from a list of directories.
+
+    Drop-in replacement for the reference's file-glob plugin discovery
+    (``_Dispatcher.py:63-95`` + ``xicsrt_config.get_pathlist_default``):
+    every ``_Xicsrt*.py`` / ``xicsrt_*.py`` file in the given directories is
+    imported once (cached). Classes using ``@register`` self-register; any
+    other ``Element`` subclass defined in the module is auto-registered
+    under its class name.
+    """
+    import glob
+    import importlib.util
+    import os
+
+    loaded = []
+    for path in pathlist or []:
+        patterns = [os.path.join(path, "_Xicsrt*.py"),
+                    os.path.join(path, "xicsrt_*.py")]
+        files = sorted({f for pat in patterns for f in glob.glob(pat)})
+        for filename in files:
+            modname = "xicsrt_tpu_plugin_" + os.path.splitext(
+                os.path.basename(filename)
+            )[0].lstrip("_")
+            if modname in _LOADED_PLUGINS:
+                continue
+            spec = importlib.util.spec_from_file_location(modname, filename)
+            module = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(module)
+            _LOADED_PLUGINS[modname] = module
+            for obj in vars(module).values():
+                if (
+                    isinstance(obj, type)
+                    and issubclass(obj, Element)
+                    and obj.__module__ == modname
+                    and obj.__name__.lower() not in _REGISTRY
+                ):
+                    _REGISTRY[obj.__name__.lower()] = obj
+            loaded.append(filename)
+    return loaded
+
+
+_LOADED_PLUGINS: dict = {}
+
+
 def lookup(class_name: str):
     cls = _REGISTRY.get(str(class_name).lower())
     if cls is None:

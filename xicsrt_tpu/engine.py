@@ -51,6 +51,7 @@ class Pipeline:
             jax.config.update("jax_enable_x64", True)
 
         profiler.start("pipeline_build")
+        dispatch.load_plugin_paths(general.get("pathlist"))
         self.filters = dispatch.build_section(self.config, "filters")
         self.sources = dispatch.build_section(self.config, "sources")
         self.optics = dispatch.build_section(self.config, "optics")
