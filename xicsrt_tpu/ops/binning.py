@@ -186,9 +186,22 @@ def bin_images_fused(items: list, image_mode: str = "nearest",
     """
     if not items:
         return []
+    scatter_fn = bin_image_bilinear if image_mode == "bilinear" else bin_image
     if jax.default_backend() == "cpu":
-        fn = bin_image_bilinear if image_mode == "bilinear" else bin_image
-        return [fn(*item) for item in items]
+        return [scatter_fn(*item) for item in items]
+
+    # The matmul form costs O(rays * nx * ny) MACs — past ~2^18 bins the
+    # MXU work exceeds the serialized scatter. Route huge images (rare:
+    # megapixel detectors) through scatter and keep the fused pass for the
+    # rest.
+    big = [item[3] * item[4] > (1 << 18) for item in items]
+    if any(big):
+        small_items = [it for it, b in zip(items, big) if not b]
+        small_out = iter(bin_images_fused(small_items, image_mode, chunk))
+        return [
+            scatter_fn(*it) if b else next(small_out)
+            for it, b in zip(items, big)
+        ]
 
     n = items[0][0].shape[0]
     dtype = items[0][0].dtype
