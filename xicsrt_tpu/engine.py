@@ -146,7 +146,7 @@ class Pipeline:
         return iteration
 
     def make_run(self, num_iter: int, keep_history: bool | None = None,
-                 keep_images: bool | None = None):
+                 keep_images: bool | None = None, remat: bool = False):
         """Build ``run(params, key) -> dict`` executing ``num_iter``
         iterations inside one jitted scan.
 
@@ -154,8 +154,14 @@ class Pipeline:
         iterations, exactly the reference's image-sum semantics,
         ``xicsrt_raytrace.py:327-354``). With history: per-iteration ray
         states are stacked on the leading axis.
+
+        ``remat=True`` checkpoints each iteration: the backward pass
+        recomputes the trace instead of storing per-ray residuals — required
+        to differentiate large batches without exhausting HBM.
         """
         iteration = self.make_iteration(keep_history, keep_images)
+        if remat:
+            iteration = jax.checkpoint(iteration)
         g = self.general
         if keep_history is None:
             keep_history = bool(g["keep_history"])

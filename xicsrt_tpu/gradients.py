@@ -47,7 +47,11 @@ def make_differentiable(config: dict, num_iter: int | None = None):
     general["keep_history"] = False
     pipeline = Pipeline(config)
     n_iter = num_iter or int(pipeline.general["number_of_iter"])
-    run = pipeline.make_run(n_iter, keep_history=False, keep_images=True)
+    # Checkpointed iterations: backward recomputes the trace, keeping
+    # memory flat in the number of iterations and the batch size.
+    run = pipeline.make_run(
+        n_iter, keep_history=False, keep_images=True, remat=True
+    )
 
     def image_fn(params, key):
         return run(params, key)["image"]
