@@ -193,6 +193,57 @@ class TestPlanarLimit:
         )
 
 
+class TestMeshRefine:
+    """Grid-pruned refine path == dense all-faces path, exactly.
+
+    The reference's KD-tree refinement loses edge rays (``_ShapeMesh.py:
+    158-162``); the grid + coarse-hit + mid-plane-fallback design must not.
+    """
+
+    @pytest.mark.parametrize(
+        "class_name,extra",
+        [
+            ("XicsrtOpticMeshSphericalCrystal", {"radius": 1.0}),
+            ("XicsrtOpticMeshCylindricalCrystal", {"radius": 1.0}),
+            (
+                "XicsrtOpticMeshToroidalCrystal",
+                {"radius_major": 1.0, "radius_minor": 0.2},
+            ),
+        ],
+    )
+    def test_refine_matches_dense(self, class_name, extra):
+        common = dict(
+            origin=[0.0, 0.0, 0.8],
+            zaxis=[0.0, 0.3, -1.0],
+            xsize=0.2,
+            ysize=0.2,
+            mesh_size=(31, 31),
+            check_bragg=False,
+            crystal_spacing=2.45676,
+            # Block smaller than the ray count to exercise _block_map padding.
+            mesh_ray_block=1000,
+            **extra,
+        )
+        refine = _build(class_name, mesh_refine=True, **common)
+        dense = _build(class_name, mesh_refine=False, **common)
+        assert refine.param["mesh_refine"] and not dense.param["mesh_refine"]
+
+        rng = np.random.default_rng(7)
+        n = 4096
+        origins = rng.normal(0.0, 0.02, (n, 3))
+        directions = np.array([0.0, 0.24, 0.8]) - origins
+        directions += rng.normal(0.0, 0.12, (n, 3))  # oblique spread
+        rays = _make_rays(origins, directions)
+
+        d_r, n_r, m_r = _intersect(refine, rays)
+        d_d, n_d, m_d = _intersect(dense, rays)
+        assert m_r.sum() > 100  # the scenario actually hits the optic
+        np.testing.assert_array_equal(m_r, m_d)
+        both = m_r & m_d
+        np.testing.assert_allclose(d_r[both], d_d[both], atol=1e-9)
+        np.testing.assert_allclose(n_r[both], n_d[both], atol=1e-9)
+
+
 class TestMeshVsAnalytic:
     """integrated_test_01 cross-validation: mesh == analytic within facet
     error."""

@@ -52,7 +52,7 @@ class FilterSightline(FilterBase):
         def apply(params, origin, mask):
             frame = params["frame"]
             l0 = frame.origin[None, :] - origin
-            proj = l0 @ frame.zaxis
+            proj = vec.dot(l0, frame.zaxis)
             perp = l0 - proj[:, None] * frame.zaxis[None, :]
             dist = vec.magnitude(perp)
             return mask & (dist <= params["radius"])

@@ -3,8 +3,12 @@
 Replaces the reference ``GeometryObject`` (``xicsrt/objects/_GeometryObject.py:19-200``)
 with a differentiable pytree: an element pose is ``origin`` plus a row-matrix
 ``basis`` whose rows are the local x/y/z axes expressed in global coordinates.
-All transforms are batched matmuls so XLA maps them onto the MXU for large ray
-bundles.
+
+Transforms are deliberately written as broadcast multiplies + adds rather
+than ``v @ basis``: on TPU a dot_general runs on the MXU at bf16 input
+precision by default, which is catastrophic for Bragg-scale angles
+(rocking widths are ~5e-5 rad), while a K=3 contraction gains nothing from
+the systolic array. The elementwise form runs on the VPU in full f32/f64.
 """
 
 from __future__ import annotations
@@ -44,11 +48,22 @@ class Frame:
     # --- vectors ---------------------------------------------------------
     def vector_to_external(self, v: jax.Array) -> jax.Array:
         """Local components -> global vector. v: [..., 3]."""
-        return v @ self.basis
+        return (
+            v[..., 0:1] * self.basis[0]
+            + v[..., 1:2] * self.basis[1]
+            + v[..., 2:3] * self.basis[2]
+        )
 
     def vector_to_local(self, v: jax.Array) -> jax.Array:
         """Global vector -> local components. v: [..., 3]."""
-        return v @ self.basis.T
+        return jnp.stack(
+            [
+                jnp.sum(v * self.basis[0], axis=-1),
+                jnp.sum(v * self.basis[1], axis=-1),
+                jnp.sum(v * self.basis[2], axis=-1),
+            ],
+            axis=-1,
+        )
 
     # --- points ----------------------------------------------------------
     def point_to_external(self, p: jax.Array) -> jax.Array:

@@ -94,9 +94,12 @@ def rotate_to_frame(local_dirs: jax.Array, basis: jax.Array) -> jax.Array:
     """Map local z-aligned unit vectors through per-ray bases.
 
     ``local_dirs``: [N,3]; ``basis``: [N,3,3] rows (x,y,z) -> returns [N,3]
-    global vectors. Equivalent of ``einsum('ij,ijk->ik', dir_local, R)``.
+    global vectors. Equivalent of ``einsum('ij,ijk->ik', dir_local, R)``,
+    written elementwise so it runs on the VPU at full precision (a K=3
+    dot_general would hit the MXU at bf16 input precision on TPU, which is
+    fatal for Bragg-scale angular accuracy).
     """
-    return jnp.einsum("ij,ijk->ik", local_dirs, basis)
+    return jnp.sum(local_dirs[:, :, None] * basis, axis=1)
 
 
 def cylindrical_from_cartesian(p: jax.Array) -> jax.Array:

@@ -1,16 +1,27 @@
 """Triangle-mesh optics.
 
 TPU-native replacement for ``xicsrt/optics/_ShapeMesh.py`` and the
-sphere/cylinder/torus mesh generators. Key design differences:
+sphere/cylinder/torus mesh generators. Two intersection paths:
 
-- The reference prunes candidate faces with a cKDTree + coarse mesh
-  (``_ShapeMesh.py:350-475``), which loses a small number of rays and does
-  not map to TPU. Here every ray is tested against every face with the
-  Möller–Trumbore predicate, scanned over fixed-size face chunks so VMEM
-  stays bounded; the nearest hit wins. This is exact (no refinement losses)
-  and the dense [rays x faces] arithmetic is what the VPU is built for.
-  ``mesh_coarse_*`` / ``mesh_refine`` options are accepted for config
-  compatibility and ignored.
+- **Refine path** (default when a coarse mesh is available, mirroring the
+  reference's refinement semantics ``_ShapeMesh.py:350-475``): the
+  reference prunes candidate faces with a cKDTree around a coarse-mesh
+  hit; pointer-chasing trees do not map to TPU, so the pruning structure
+  here is a *uniform 2D grid* over the mesh's local x-y footprint, built
+  on the host at setup. On device: rays are transformed to the mesh local
+  frame, intersected densely against the (tiny) coarse mesh, the hit's
+  local x-y selects a grid cell (rays that miss the coarse mesh fall back
+  to a mid-plane projection instead of being dropped — the reference
+  loses those rays and warns, ``_ShapeMesh.py:158-162``), and the exact
+  Möller–Trumbore test runs only on that cell's K candidate faces. Work
+  is O(rays x K) instead of O(rays x faces).
+- **Dense path** (fallback, and ``mesh_refine=False``): every ray against
+  every face, scanned over fixed-size face chunks. Exact for meshes that
+  are not x-y height fields.
+
+Both paths process rays in fixed-size blocks (``mesh_ray_block``) via
+``lax.map`` so peak memory is bounded regardless of batch size.
+
 - Smooth-surface mode (``mesh_interpolate``) interpolates vertex normals
   barycentrically on the hit face (the reference fits CloughTocher2D splines
   in the local x-y plane; barycentric interpolation is mesh-intrinsic,
@@ -36,6 +47,39 @@ from xicsrt_tpu.optics.base import TraceElement
 _MT_EPS = 1e-12
 
 
+def _moller_trumbore(O, D, v0, v1, v2):
+    """Vectorized Möller–Trumbore ray/triangle test.
+
+    ``O``/``D``: [N, 3] ray origins/directions. ``v0/v1/v2``: triangle
+    vertices, either [C, 3] (shared face set) or [N, C, 3] (per-ray
+    candidates). Returns ``(t, u, v, hit)`` each [N, C]. Same predicate as
+    the reference's ``mesh_intersect_1`` (``_ShapeMesh.py:289-348``) but
+    batched over a static candidate axis.
+    """
+    if v0.ndim == 2:
+        v0, v1, v2 = v0[None], v1[None], v2[None]
+    e1 = v1 - v0
+    e2 = v2 - v0
+    Ob = O[:, None, :]
+    Db = D[:, None, :]
+    h = jnp.cross(Db, e2)
+    a = jnp.sum(e1 * h, axis=-1)
+    inv_a = 1.0 / jnp.where(jnp.abs(a) > _MT_EPS, a, _MT_EPS)
+    s = Ob - v0
+    u = jnp.sum(s * h, axis=-1) * inv_a
+    q = jnp.cross(s, e1)
+    v = jnp.sum(Db * q, axis=-1) * inv_a
+    t = jnp.sum(e2 * q, axis=-1) * inv_a
+    hit = (
+        (jnp.abs(a) > _MT_EPS)
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > 1e-7)
+    )
+    return t, u, v, hit
+
+
 class ShapeMesh(TraceElement):
     """Arbitrary triangle-mesh surface."""
 
@@ -44,10 +88,17 @@ class ShapeMesh(TraceElement):
         mesh_points: [P,3] vertex positions.
         mesh_normals: [P,3] vertex normals (enables smooth interpolation).
         mesh_faces: [F,3] vertex indices.
-        mesh_coarse_*: accepted for reference compatibility; unused.
+        mesh_coarse_points/normals/faces: coarse proxy mesh used by the
+            refine path to localize hits (``_ShapeMesh.py:350-426``).
         mesh_interpolate: barycentric smooth position/normal interpolation.
-        mesh_refine: accepted for reference compatibility; unused.
-        mesh_chunk: number of faces per scanned chunk (memory knob).
+        mesh_refine: grid-pruned candidate intersection (default: on when a
+            coarse mesh is available and the data is local-frame).
+        mesh_chunk: faces per scanned chunk on the dense path (memory knob).
+        mesh_ray_block: rays per processed block (memory knob).
+        mesh_grid_size: (ncx, ncy) pruning-grid resolution (default: auto,
+            ~2 faces per cell before margin expansion).
+        mesh_grid_margin: cell halo each face is registered into (covers the
+            x-y error of the coarse hit estimate).
         """
         config = super().default_config()
         config["mesh_points"] = None
@@ -59,6 +110,9 @@ class ShapeMesh(TraceElement):
         config["mesh_interpolate"] = None
         config["mesh_refine"] = None
         config["mesh_chunk"] = 512
+        config["mesh_ray_block"] = 131072
+        config["mesh_grid_size"] = None
+        config["mesh_grid_margin"] = 1.0
         return config
 
     def check_param(self):
@@ -73,6 +127,27 @@ class ShapeMesh(TraceElement):
             raise ValueError(
                 "mesh_normals must be provided to use mesh interpolation."
             )
+        local_data = bool(self.param.get("trace_local", False))
+        has_coarse = (
+            self.param["mesh_coarse_points"] is not None
+            and self.param["mesh_coarse_faces"] is not None
+        )
+        refine = self.param["mesh_refine"]
+        if refine is None:
+            refine = has_coarse and local_data
+        refine = bool(refine)
+        if refine and not has_coarse:
+            raise ValueError(
+                f'Optic "{self.name}": mesh_refine requires mesh_coarse_points '
+                "and mesh_coarse_faces."
+            )
+        if refine and not local_data:
+            raise ValueError(
+                f'Optic "{self.name}": mesh_refine requires local-frame mesh '
+                "data (trace_local=True); the pruning grid lives in the "
+                "mesh local x-y plane."
+            )
+        self.param["mesh_refine"] = refine
 
     def initialize(self):
         super().initialize()
@@ -93,7 +168,70 @@ class ShapeMesh(TraceElement):
             params["mesh_normals"] = self.as_array(self.param["mesh_normals"])
         return params
 
+    def _generate_coarse(self):
+        """Generate the coarse proxy mesh for the refine path (generators).
+
+        Mirrors the reference generators, which build both a fine and a
+        coarse mesh (e.g. ``_ShapeMeshSphere.py:60-98``).
+        """
+        size = self.param.get("mesh_coarse_size")
+        if size is None or self.param["mesh_coarse_points"] is not None:
+            return
+        points, normals, faces = self.generate_mesh(size)
+        self.param["mesh_coarse_points"] = points
+        self.param["mesh_coarse_normals"] = normals
+        self.param["mesh_coarse_faces"] = faces
+
     def make_intersect(self):
+        if self.param["mesh_refine"]:
+            return self._make_intersect_refine()
+        return self._make_intersect_dense()
+
+    # -- shared pieces -----------------------------------------------------
+
+    def _normal_fn(self, interpolate):
+        """Returns fn(pts, normals, fverts, u, v) -> [N,3] hit normals
+        (in the same frame as ``pts``)."""
+
+        def normal_at(pts, normals, fverts, u, v):
+            if interpolate and normals is not None:
+                n0 = normals[fverts[:, 0]]
+                n1 = normals[fverts[:, 1]]
+                n2 = normals[fverts[:, 2]]
+                w0 = (1.0 - u - v)[:, None]
+                return vec.safe_normalize(
+                    w0 * n0 + u[:, None] * n1 + v[:, None] * n2
+                )
+            p0 = pts[fverts[:, 0]]
+            e1 = pts[fverts[:, 1]] - p0
+            e2 = pts[fverts[:, 2]] - p0
+            return vec.safe_normalize(jnp.cross(e1, e2))
+
+        return normal_at
+
+    @staticmethod
+    def _block_map(fn, n, args, block):
+        """Apply ``fn`` over fixed-size ray blocks (bounds peak memory).
+
+        ``args``: tuple of arrays with leading dim n; returns fn outputs
+        (a tuple of arrays with leading dim = block) re-assembled to n.
+        """
+        b = max(1, min(int(block), n))
+        n_blocks = -(-n // b)
+        pad = n_blocks * b - n
+        if n_blocks == 1:
+            return fn(args)
+        padded = tuple(
+            jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1), constant_values=1.0)
+            for a in args
+        )
+        blocked = tuple(a.reshape((n_blocks, b) + a.shape[1:]) for a in padded)
+        out = jax.lax.map(fn, blocked)
+        return tuple(o.reshape((n_blocks * b,) + o.shape[2:])[:n] for o in out)
+
+    # -- dense path ----------------------------------------------------------
+
+    def _make_intersect_dense(self):
         faces = np.asarray(self.param["mesh_faces"], dtype=np.int32)
         n_faces = faces.shape[0]
         chunk = int(self.param["mesh_chunk"])
@@ -106,6 +244,8 @@ class ShapeMesh(TraceElement):
         ).reshape(n_chunks, chunk, 3)
         interpolate = bool(self.param["mesh_interpolate"])
         local_data = bool(self.param.get("trace_local", False))
+        ray_block = int(self.param["mesh_ray_block"])
+        normal_at = self._normal_fn(interpolate)
 
         def intersect(params, rays):
             frame = params["frame"]
@@ -116,76 +256,196 @@ class ShapeMesh(TraceElement):
             if normals is not None and local_data:
                 normals = frame.vector_to_external(normals)
 
-            O = rays.origin
-            D = rays.direction
-            n = O.shape[0]
-            dtype = O.dtype
+            n = rays.origin.shape[0]
+            dtype = rays.origin.dtype
             inf = jnp.asarray(jnp.inf, dtype=dtype)
             face_chunks = jnp.asarray(faces_padded)  # [n_chunks, chunk, 3]
-            rows = jnp.arange(n)
 
-            def body(ci, carry):
-                best_t, best_face, best_u, best_v = carry
-                face_chunk = face_chunks[ci]  # [chunk, 3]
-                tri = pts[face_chunk]
-                p0 = tri[:, 0]
-                e1 = tri[:, 1] - p0
-                e2 = tri[:, 2] - p0
-                h = jnp.cross(D[:, None, :], e2[None, :, :])
-                a = jnp.sum(e1[None, :, :] * h, axis=-1)
-                inv_a = 1.0 / jnp.where(jnp.abs(a) > _MT_EPS, a, _MT_EPS)
-                s = O[:, None, :] - p0[None, :, :]
-                u = jnp.sum(s * h, axis=-1) * inv_a
-                q = jnp.cross(s, e1[None, :, :])
-                v = jnp.sum(D[:, None, :] * q, axis=-1) * inv_a
-                t = jnp.sum(e2[None, :, :] * q, axis=-1) * inv_a
-                hit = (
-                    (jnp.abs(a) > _MT_EPS)
-                    & (u >= 0.0)
-                    & (v >= 0.0)
-                    & (u + v <= 1.0)
-                    & (t > 1e-7)
-                )
-                t_masked = jnp.where(hit, t, inf)
-                j = jnp.argmin(t_masked, axis=-1)
-                t_new = t_masked[rows, j]
-                better = t_new < best_t
-                gface = ci * chunk + j
-                return (
-                    jnp.where(better, t_new, best_t),
-                    jnp.where(better, gface.astype(jnp.int32), best_face),
-                    jnp.where(better, u[rows, j], best_u),
-                    jnp.where(better, v[rows, j], best_v),
-                )
+            def block(args):
+                O, D = args
+                nb = O.shape[0]
+                rows = jnp.arange(nb)
 
-            init = (
-                jnp.full((n,), jnp.inf, dtype=dtype),
-                jnp.zeros((n,), dtype=jnp.int32),
-                jnp.zeros((n,), dtype=dtype),
-                jnp.zeros((n,), dtype=dtype),
-            )
-            best_t, best_face, best_u, best_v = jax.lax.fori_loop(
-                0, n_chunks, body, init
+                def body(ci, carry):
+                    best_t, best_face, best_u, best_v = carry
+                    face_chunk = face_chunks[ci]  # [chunk, 3]
+                    tri = pts[face_chunk]
+                    t, u, v, hit = _moller_trumbore(
+                        O, D, tri[:, 0], tri[:, 1], tri[:, 2]
+                    )
+                    t_masked = jnp.where(hit, t, inf)
+                    j = jnp.argmin(t_masked, axis=-1)
+                    t_new = t_masked[rows, j]
+                    better = t_new < best_t
+                    gface = ci * chunk + j
+                    return (
+                        jnp.where(better, t_new, best_t),
+                        jnp.where(better, gface.astype(jnp.int32), best_face),
+                        jnp.where(better, u[rows, j], best_u),
+                        jnp.where(better, v[rows, j], best_v),
+                    )
+
+                init = (
+                    jnp.full((nb,), jnp.inf, dtype=dtype),
+                    jnp.zeros((nb,), dtype=jnp.int32),
+                    jnp.zeros((nb,), dtype=dtype),
+                    jnp.zeros((nb,), dtype=dtype),
+                )
+                return jax.lax.fori_loop(0, n_chunks, body, init)
+
+            best_t, best_face, best_u, best_v = self._block_map(
+                block, n, (rays.origin, rays.direction), ray_block
             )
 
             m = rays.mask & jnp.isfinite(best_t)
             dist = jnp.where(m, best_t, 0.0)
-
             all_faces = jnp.asarray(faces_padded.reshape(-1, 3))
             fverts = all_faces[best_face]  # [n, 3]
-            if interpolate and normals is not None:
-                n0 = normals[fverts[:, 0]]
-                n1 = normals[fverts[:, 1]]
-                n2 = normals[fverts[:, 2]]
-                w0 = (1.0 - best_u - best_v)[:, None]
-                norm = vec.safe_normalize(
-                    w0 * n0 + best_u[:, None] * n1 + best_v[:, None] * n2
+            norm = normal_at(pts, normals, fverts, best_u, best_v)
+            return dist, norm, m
+
+        return intersect
+
+    # -- refine (grid-pruned) path -------------------------------------------
+
+    def _build_grid(self):
+        """Host-side uniform grid over the local x-y mesh footprint.
+
+        TPU-native stand-in for the reference's cKDTree candidate lookup
+        (``_ShapeMesh.py:464-475``): each cell stores the indices of every
+        face whose x-y bounding box overlaps the cell expanded by
+        ``mesh_grid_margin`` cells, padded to the max count with a sentinel
+        degenerate face that can never be hit.
+        """
+        pts = np.asarray(self.param["mesh_points"], dtype=np.float64)
+        faces = np.asarray(self.param["mesh_faces"], dtype=np.int32)
+        n_faces = faces.shape[0]
+        xy = pts[:, :2]
+        fxy = xy[faces]  # [F, 3, 2]
+        fmin = fxy.min(axis=1)
+        fmax = fxy.max(axis=1)
+        lo = xy.min(axis=0)
+        hi = xy.max(axis=0)
+        span = np.maximum(hi - lo, 1e-300)
+
+        grid_size = self.param["mesh_grid_size"]
+        if grid_size is None:
+            nc = int(np.clip(np.ceil(np.sqrt(n_faces / 2.0)), 1, 512))
+            ncx = ncy = nc
+        else:
+            ncx, ncy = (int(v) for v in grid_size)
+        cell = span / np.array([ncx, ncy])
+        margin = float(self.param["mesh_grid_margin"]) * cell
+
+        i0 = np.clip(
+            np.floor((fmin - margin - lo) / cell).astype(np.int64), 0, [ncx - 1, ncy - 1]
+        )
+        i1 = np.clip(
+            np.floor((fmax + margin - lo) / cell).astype(np.int64), 0, [ncx - 1, ncy - 1]
+        )
+        cell_lists = [[] for _ in range(ncx * ncy)]
+        for f in range(n_faces):
+            for ix in range(i0[f, 0], i1[f, 0] + 1):
+                for iy in range(i0[f, 1], i1[f, 1] + 1):
+                    cell_lists[ix * ncy + iy].append(f)
+        k_max = max(1, max(len(c) for c in cell_lists))
+        # Sentinel: face index n_faces -> degenerate triangle (vertex 0 x3).
+        cell_faces = np.full((ncx * ncy, k_max), n_faces, dtype=np.int32)
+        for ci, lst in enumerate(cell_lists):
+            cell_faces[ci, : len(lst)] = lst
+        faces_sentinel = np.concatenate(
+            [faces, np.zeros((1, 3), dtype=np.int32)], axis=0
+        )
+        zmid = float(pts[:, 2].min() + pts[:, 2].max()) / 2.0
+        return {
+            "cell_faces": cell_faces,
+            "faces_sentinel": faces_sentinel,
+            "lo": lo,
+            "cell": cell,
+            "ncx": ncx,
+            "ncy": ncy,
+            "k_max": k_max,
+            "zmid": zmid,
+        }
+
+    def _make_intersect_refine(self):
+        grid = self._build_grid()
+        coarse_pts = np.asarray(self.param["mesh_coarse_points"], dtype=np.float64)
+        coarse_faces = np.asarray(self.param["mesh_coarse_faces"], dtype=np.int32)
+        interpolate = bool(self.param["mesh_interpolate"])
+        ray_block = int(self.param["mesh_ray_block"])
+        normal_at = self._normal_fn(interpolate)
+        ncy = grid["ncy"]
+        ncx = grid["ncx"]
+        zmid = grid["zmid"]
+        lo_x, lo_y = (float(v) for v in grid["lo"])
+        cw_x, cw_y = (float(v) for v in grid["cell"])
+        c_tri = coarse_pts[coarse_faces]  # [Fc, 3, 3] static host data
+
+        def intersect(params, rays):
+            frame = params["frame"]
+            pts = params["mesh_points"]  # local-frame, differentiable
+            normals = params.get("mesh_normals")
+            n = rays.origin.shape[0]
+            dtype = rays.origin.dtype
+            inf = jnp.asarray(jnp.inf, dtype=dtype)
+            cell_faces = jnp.asarray(grid["cell_faces"])  # [ncells, K]
+            faces_sentinel = jnp.asarray(grid["faces_sentinel"])  # [F+1, 3]
+            tri_c = jnp.asarray(c_tri, dtype=dtype)
+
+            O_l = frame.point_to_local(rays.origin)
+            D_l = frame.vector_to_local(rays.direction)
+
+            def block(args):
+                O, D = args
+                nb = O.shape[0]
+                rows = jnp.arange(nb)
+                # 1. Coarse hit estimate (dense MT over the tiny coarse mesh).
+                tc, _, _, hitc = _moller_trumbore(
+                    O, D, tri_c[:, 0], tri_c[:, 1], tri_c[:, 2]
                 )
-            else:
-                p0 = pts[fverts[:, 0]]
-                e1 = pts[fverts[:, 1]] - p0
-                e2 = pts[fverts[:, 2]] - p0
-                norm = vec.safe_normalize(jnp.cross(e1, e2))
+                tc_masked = jnp.where(hitc, tc, inf)
+                t_c = jnp.min(tc_masked, axis=-1)
+                hit_any = jnp.isfinite(t_c)
+                # Fallback for coarse misses: project onto the mid-z plane
+                # (keeps edge rays the reference's refinement would lose).
+                dz = D[:, 2]
+                safe_dz = jnp.where(jnp.abs(dz) > 1e-12, dz, 1e-12)
+                t_plane = (zmid - O[:, 2]) / safe_dz
+                t_est = jnp.where(hit_any, t_c, t_plane)
+                p = O + t_est[:, None] * D
+                # 2. Grid cell -> K candidate faces.
+                ix = jnp.clip(
+                    jnp.floor((p[:, 0] - lo_x) / cw_x).astype(jnp.int32), 0, ncx - 1
+                )
+                iy = jnp.clip(
+                    jnp.floor((p[:, 1] - lo_y) / cw_y).astype(jnp.int32), 0, ncy - 1
+                )
+                cand = cell_faces[ix * ncy + iy]  # [nb, K]
+                fidx = faces_sentinel[cand]  # [nb, K, 3]
+                v0 = pts[fidx[..., 0]]
+                v1 = pts[fidx[..., 1]]
+                v2 = pts[fidx[..., 2]]
+                # 3. Exact MT on candidates only.
+                t, u, v, hit = _moller_trumbore(O, D, v0, v1, v2)
+                t_masked = jnp.where(hit, t, inf)
+                j = jnp.argmin(t_masked, axis=-1)
+                return (
+                    t_masked[rows, j],
+                    cand[rows, j],
+                    u[rows, j],
+                    v[rows, j],
+                )
+
+            best_t, best_face, best_u, best_v = self._block_map(
+                block, n, (O_l, D_l), ray_block
+            )
+
+            m = rays.mask & jnp.isfinite(best_t)
+            dist = jnp.where(m, best_t, 0.0)
+            fverts = jnp.asarray(grid["faces_sentinel"])[best_face]
+            norm_local = normal_at(pts, normals, fverts, best_u, best_v)
+            norm = frame.vector_to_external(norm_local)
             return dist, norm, m
 
         return intersect
@@ -229,6 +489,7 @@ class ShapeMeshSphere(ShapeMesh):
         self.param["mesh_points"] = points
         self.param["mesh_normals"] = normals
         self.param["mesh_faces"] = faces
+        self._generate_coarse()
 
     def generate_mesh(self, mesh_size):
         radius = float(self.param["radius"])
@@ -263,6 +524,7 @@ class ShapeMeshCylinder(ShapeMesh):
         self.param["mesh_points"] = points
         self.param["mesh_normals"] = normals
         self.param["mesh_faces"] = faces
+        self._generate_coarse()
 
     def generate_mesh(self, mesh_size):
         radius = float(self.param["radius"])
@@ -320,6 +582,7 @@ class ShapeMeshTorus(ShapeMesh):
             normals = self._normals_fd(points)
         self.param["mesh_normals"] = normals
         self.param["mesh_faces"] = faces
+        self._generate_coarse()
 
     def _surface(self, phi, psi):
         R = float(self.param["radius_major"])

@@ -35,8 +35,8 @@ class ShapePlane(TraceElement):
         def intersect(params, rays):
             frame = params["frame"]
             normal = frame.zaxis
-            denom = rays.direction @ normal
-            numer = (frame.origin[None, :] - rays.origin) @ normal
+            denom = vec.dot(rays.direction, normal)
+            numer = vec.dot(frame.origin[None, :] - rays.origin, normal)
             safe = jnp.where(jnp.abs(denom) > 1e-30, denom, 1e-30)
             dist = numer / safe
             m = rays.mask & (dist >= 0.0) & (jnp.abs(denom) > 1e-30)
@@ -102,8 +102,8 @@ class ShapeCylinder(_ShapeCurvedMixin):
             center = frame.origin + sign * radius * frame.zaxis
             axis = frame.xaxis
             dp = rays.origin - center[None, :]
-            d_ax = rays.direction @ axis
-            p_ax = dp @ axis
+            d_ax = vec.dot(rays.direction, axis)
+            p_ax = vec.dot(dp, axis)
             A1 = rays.direction - d_ax[:, None] * axis[None, :]
             B1 = dp - p_ax[:, None] * axis[None, :]
             a = vec.dot(A1, A1)
@@ -116,7 +116,7 @@ class ShapeCylinder(_ShapeCurvedMixin):
             xloc = rays.origin + rays.direction * dist[:, None]
             # Normal points from the surface towards the axis.
             to_center = center[None, :] - xloc
-            along = to_center @ axis
+            along = vec.dot(to_center, axis)
             norm = vec.safe_normalize(to_center - along[:, None] * axis[None, :])
             return dist, norm, m
 
@@ -213,8 +213,8 @@ class ShapeTorus(TraceElement):
             # the reference's solver-order-dependent root_idx table
             # (``_ShapeTorus.py:72-89,175-181``) and also handles rays
             # originating inside the torus hole. z_local is linear in t.
-            z0 = (rays.origin - frame.origin[None, :]) @ frame.zaxis
-            zd = rays.direction @ frame.zaxis
+            z0 = vec.dot(rays.origin - frame.origin[None, :], frame.zaxis)
+            zd = vec.dot(rays.direction, frame.zaxis)
             z_local = z0[:, None] + cand * zd[:, None]
             valid = jnp.isfinite(cand) & (cand > 1e-6)
             score = jnp.where(valid, jnp.abs(z_local), jnp.inf)
@@ -229,7 +229,7 @@ class ShapeTorus(TraceElement):
             xloc = rays.origin + rays.direction * dist[:, None]
             yaxis = frame.yaxis
             pt = xloc - center[None, :]
-            pt_planar = pt - (pt @ yaxis)[:, None] * yaxis[None, :]
+            pt_planar = pt - vec.dot(pt, yaxis)[:, None] * yaxis[None, :]
             q = center[None, :] + r_maj * vec.safe_normalize(pt_planar)
             norm = vec.safe_normalize(xloc - q)
             return dist, norm, m

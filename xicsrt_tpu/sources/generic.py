@@ -206,7 +206,7 @@ class SourceGeneric(GeometryElement):
             w = base(params, key)
             if velocity_nonzero:
                 # First-order Doppler shift from the bulk velocity (:314-318).
-                w = w * (1.0 - (direction @ params["velocity"]) / _C_LIGHT)
+                w = w * (1.0 - vec.dot(direction, params["velocity"]) / _C_LIGHT)
             return w
 
         return sample_wavelength
