@@ -36,6 +36,27 @@ class TestVector:
             R @ v, vector.vector_rotate(v, axis, theta), atol=1e-10
         )
 
+    def test_toroidal_roundtrip(self):
+        rng = np.random.default_rng(5)
+        tor = np.stack(
+            [
+                rng.uniform(0.01, 0.5, 40),
+                rng.uniform(-np.pi, np.pi, 40),
+                rng.uniform(-np.pi, np.pi, 40),
+            ],
+            axis=-1,
+        )
+        car = vector.cartesian_from_toroidal(jnp.asarray(tor), 2.0)
+        back = vector.toroidal_from_cartesian(car, 2.0)
+        np.testing.assert_allclose(np.asarray(back), tor, atol=1e-12)
+
+    def test_sinusoidal_spiral(self):
+        # b=2 gives a circle through the pole: r = r0*sin(theta0+phi)/sin(theta0).
+        phi = np.linspace(0.0, 0.5, 7)
+        r = vector.sinusoidal_spiral(jnp.asarray(phi), 2.0, 1.5, 0.7)
+        expected = 1.5 * np.sin(0.7 + phi) / np.sin(0.7)
+        np.testing.assert_allclose(np.asarray(r), expected, atol=1e-12)
+
     def test_point_in_triangle(self):
         a = jnp.array([0.0, 0.0])
         b = jnp.array([1.0, 0.0])

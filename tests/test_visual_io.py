@@ -77,6 +77,69 @@ class TestPlot3D:
         scene.show(filename=str(out))
         assert out.stat().st_size > 1000
 
+    def test_fluxsurfaces(self, tmp_path):
+        config = {
+            "general": {"print_results": False},
+            "sources": {
+                "plasma": {
+                    "class_name": "XicsrtPlasmaToroidal",
+                    "major_radius": 1.5,
+                    "minor_radius": 0.4,
+                    "xsize": 0.5, "ysize": 0.5, "zsize": 0.5,
+                    "emissivity": 1e10,
+                    "spread": 0.1,
+                    "target": [0.0, 0.0, 1.0],
+                }
+            },
+            "optics": {},
+        }
+        scene = plot3d.figure(backend="matplotlib")
+        plot3d.add_fluxsurfaces(scene, config, num_surfaces=3)
+        # Surfaces were added for the toroidal source (3 rho shells).
+        assert len(scene._meshes) == 3
+        # rho=1 surface points lie at distance minor_radius from the axis
+        # circle of radius major_radius.
+        pts, faces, _, _, _ = scene._meshes[0]
+        r = np.hypot(pts[:, 0], pts[:, 1])
+        d = np.hypot(r - 1.5, pts[:, 2])
+        np.testing.assert_allclose(d, 0.4, atol=1e-12)
+        out = tmp_path / "flux.png"
+        scene.show(filename=str(out))
+        assert out.stat().st_size > 1000
+
+    def test_flux_coordinate_roundtrip(self):
+        from xicsrt_tpu.dispatch import instantiate
+
+        el = instantiate(
+            "plasma",
+            {
+                "class_name": "XicsrtPlasmaToroidal",
+                "major_radius": 2.0,
+                "minor_radius": 0.5,
+                "torus_origin": [0.1, -0.2, 0.3],
+                "xsize": 0.5, "ysize": 0.5, "zsize": 0.5,
+                "emissivity": 1e10,
+                "spread": 0.1,
+                "target": [0.0, 0.0, 1.0],
+            },
+            {},
+        )
+        rng = np.random.default_rng(3)
+        flx = np.stack(
+            [
+                rng.uniform(0.01, 1.0, 50),
+                rng.uniform(-np.pi, np.pi, 50),
+                rng.uniform(-np.pi, np.pi, 50),
+            ],
+            axis=-1,
+        )
+        car = el.car_from_flx(flx)
+        back = el.flx_from_car(car)
+        np.testing.assert_allclose(back[:, 0], flx[:, 0], atol=1e-12)
+        np.testing.assert_allclose(el.rho_from_car(car), np.sqrt(flx[:, 0]))
+        # rho_from_car must agree with the profile evaluation radius _rho.
+        np.testing.assert_allclose(el.rho_from_car(car), el._rho(car, np))
+
 
 class TestIO:
     def test_results_hdf5_roundtrip(self, results, tmp_path):

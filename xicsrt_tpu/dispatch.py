@@ -51,6 +51,23 @@ def register(*names):
     return deco
 
 
+def contrib_pathlist() -> list:
+    """Element directories of the optional ``xicsrt_contrib`` package.
+
+    Mirrors ``xicsrt_config._add_pathlist_contrib`` (:270-281): when the
+    companion package is installed, its filters/sources/optics directories
+    are searched for plugin element files.
+    """
+    import importlib.util
+    import os
+
+    spec = importlib.util.find_spec("xicsrt_contrib")
+    if spec is None or not spec.origin:
+        return []
+    base = os.path.dirname(os.path.abspath(spec.origin))
+    return [os.path.join(base, d) for d in ("filters", "sources", "optics")]
+
+
 def load_plugin_paths(pathlist) -> list:
     """Import user element modules from a list of directories.
 
@@ -66,7 +83,8 @@ def load_plugin_paths(pathlist) -> list:
     import os
 
     loaded = []
-    for path in pathlist or []:
+    pathlist = list(pathlist or []) + contrib_pathlist()
+    for path in pathlist:
         patterns = [os.path.join(path, "_Xicsrt*.py"),
                     os.path.join(path, "xicsrt_*.py")]
         files = sorted({f for pat in patterns for f in glob.glob(pat)})

@@ -128,6 +128,23 @@ def toroidal_from_cartesian(p: jax.Array, major_radius) -> jax.Array:
     return jnp.stack([rho, theta, phi], axis=-1)
 
 
+def cartesian_from_toroidal(t: jax.Array, major_radius) -> jax.Array:
+    """(rho, theta, phi) -> (x,y,z); inverse of :func:`toroidal_from_cartesian`
+    (cf. ``xicsrt_math.car_from_tor``)."""
+    rho, theta, phi = t[..., 0], t[..., 1], t[..., 2]
+    r = major_radius + rho * jnp.cos(theta)
+    z = rho * jnp.sin(theta)
+    return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
+
+
+def sinusoidal_spiral(phi, b, r0, theta0):
+    """Sinusoidal-spiral radius r(phi) (cf. ``xicsrt_math.sinusoidal_spiral``
+    :132-134); used for spiral-bent crystal design studies."""
+    return r0 * (jnp.sin(theta0 + (b - 1) * phi) / jnp.sin(theta0)) ** (
+        1.0 / (b - 1)
+    )
+
+
 def point_in_triangle_2d(p: jax.Array, a: jax.Array, b: jax.Array, c: jax.Array) -> jax.Array:
     """Barycentric inside-test for 2D points; p: [...,2], a/b/c: [2] or [...,2].
 

@@ -413,6 +413,37 @@ class PlasmaToroidal(PlasmaGeneric):
         emiss = self.profile_emissivity(rho, np) * float(self.param["emissivity_scale"])
         return emiss, np.isfinite(emiss)
 
+    # --- flux-coordinate interface (host-side, used by the visual layer) --
+    # flx = (rho^2, poloidal angle, toroidal angle) with rho = d/a, the
+    # standard normalized minor radius. Mirrors the reference interface
+    # (``_XicsrtPlasmaToroidal.py:34-48``) — note the reference's own
+    # flx_from_car/car_from_flx pair normalizes by sqrt(minor_radius) and
+    # is not self-inverse; this pair is.
+    def flx_from_car(self, point_car):
+        p = np.asarray(point_car, dtype=np.float64) - np.asarray(
+            self.param["torus_origin"], dtype=np.float64
+        )
+        r = np.hypot(p[..., 0], p[..., 1])
+        d = r - float(self.param["major_radius"])
+        rho = np.hypot(d, p[..., 2]) / float(self.param["minor_radius"])
+        theta = np.arctan2(p[..., 2], d)
+        phi = np.arctan2(p[..., 1], p[..., 0])
+        return np.stack([rho**2, theta, phi], axis=-1)
+
+    def rho_from_car(self, point_car):
+        return np.sqrt(self.flx_from_car(point_car)[..., 0])
+
+    def car_from_flx(self, point_flx):
+        flx = np.asarray(point_flx, dtype=np.float64)
+        d = np.sqrt(flx[..., 0]) * float(self.param["minor_radius"])
+        R = float(self.param["major_radius"])
+        r = R + d * np.cos(flx[..., 1])
+        z = d * np.sin(flx[..., 1])
+        car = np.stack(
+            [r * np.cos(flx[..., 2]), r * np.sin(flx[..., 2]), z], axis=-1
+        )
+        return car + np.asarray(self.param["torus_origin"], dtype=np.float64)
+
     def make_profiles(self):
         e_scale = float(self.param["emissivity_scale"])
         t_scale = float(self.param["temperature_scale"])

@@ -29,6 +29,7 @@ class Scene:
         self.backend = backend
         self._lines = []  # (segments [M, 2, 3], color, name)
         self._points = []  # (points [M, 3], color, name)
+        self._meshes = []  # (points [P, 3], faces [F, 3], color, opacity, name)
 
     def add_line_segments(self, segments, color="red", name="rays"):
         segments = np.asarray(segments)
@@ -39,6 +40,14 @@ class Scene:
         points = np.asarray(points)
         if len(points):
             self._points.append((points, color, name))
+
+    def add_mesh(self, points, faces, color="purple", opacity=0.5,
+                 name="mesh"):
+        """Add a triangle-mesh surface ([P,3] points, [F,3] faces)."""
+        points = np.asarray(points)
+        faces = np.asarray(faces)
+        if len(points) and len(faces):
+            self._meshes.append((points, faces, color, opacity, name))
 
     # ------------------------------------------------------------------
     def show(self, filename=None):
@@ -68,6 +77,15 @@ class Scene:
                     name=name,
                 )
             )
+        for points, faces, color, opacity, name in self._meshes:
+            fig.add_trace(
+                go.Mesh3d(
+                    x=points[:, 0], y=points[:, 1], z=points[:, 2],
+                    i=faces[:, 0], j=faces[:, 1], k=faces[:, 2],
+                    color=color, opacity=opacity, flatshading=True,
+                    name=name,
+                )
+            )
         fig.update_layout(scene={"aspectmode": "data"})
         if filename:
             fig.write_html(filename)
@@ -88,10 +106,14 @@ class Scene:
         for points, color, name in self._points:
             ax.scatter(points[:, 0], points[:, 1], points[:, 2],
                        c=color, s=2, label=name)
+        for points, faces, color, opacity, name in self._meshes:
+            ax.plot_trisurf(points[:, 0], points[:, 1], points[:, 2],
+                            triangles=faces, color=color, alpha=opacity)
         all_pts = np.concatenate(
             [s.reshape(-1, 3) for s, _, _ in self._lines]
             + [p for p, _, _ in self._points]
-        ) if (self._lines or self._points) else np.zeros((1, 3))
+            + [p for p, _, _, _, _ in self._meshes]
+        ) if (self._lines or self._points or self._meshes) else np.zeros((1, 3))
         lo, hi = all_pts.min(axis=0), all_pts.max(axis=0)
         ax.set_xlim(lo[0], hi[0])
         ax.set_ylim(lo[1], hi[1])
@@ -178,4 +200,49 @@ def add_sources(scene: Scene, config, color="green"):
         segs = np.stack([pts[[a for a, b in edges]],
                          pts[[b for a, b in edges]]], axis=1)
         scene.add_line_segments(segs, color=color, name=name)
+    return scene
+
+
+def add_fluxsurfaces(scene: Scene, config, num_surfaces=10,
+                     range_m=None, range_n=None, cmap="plasma_r"):
+    """Add nested plasma flux surfaces for every source exposing
+    ``car_from_flx`` (cf. ``xicsrt_3d__plotly.add_fluxsurfaces`` :352-473).
+
+    Surfaces at rho = linspace(0, 1, num_surfaces) are sampled on a regular
+    (poloidal, toroidal) angle grid and triangulated directly (the grid
+    ordering is known, so no Delaunay pass is needed).
+    """
+    import matplotlib.cm
+    import matplotlib.colors
+
+    from xicsrt_tpu.optics.mesh_shapes import grid_faces
+
+    if range_m is None:
+        range_m = (0.0, 2.0 * np.pi)
+    if range_n is None:
+        range_n = (0.0, np.pi / 4.0)
+    num_m = num_n = 51
+    val_m = np.linspace(range_m[0], range_m[1], num_m)
+    val_n = np.linspace(range_n[0], range_n[1], num_n)
+    mm, nn = np.meshgrid(val_m, val_n, indexing="ij")
+    faces = grid_faces(num_m, num_n)
+    cm = matplotlib.cm.ScalarMappable(
+        matplotlib.colors.Normalize(0.0, 1.0), cmap=cmap
+    )
+
+    for name in config.get("sources", {}):
+        element = get_element(config, name)
+        if not hasattr(element, "car_from_flx"):
+            continue
+        for rho in np.linspace(0.0, 1.0, num_surfaces)[::-1]:
+            flx = np.stack(
+                [np.full(mm.size, rho**2), mm.ravel(), nn.ravel()], axis=-1
+            )
+            car = element.car_from_flx(flx)
+            rgba = cm.to_rgba(rho)
+            color = "rgb(%d, %d, %d)" % tuple(int(255 * c) for c in rgba[:3])
+            if scene.backend != "plotly":
+                color = rgba[:3]
+            scene.add_mesh(car, faces, color=color, opacity=0.5,
+                           name=f"{name} rho={rho:.2f}")
     return scene
