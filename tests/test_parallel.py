@@ -146,3 +146,19 @@ class TestBinningTPU:
         a = bin_image(xl, mask, w, 100, 50, 0.002)
         b = bin_image_pallas(xl, mask, w, 100, 50, 0.002)
         assert bool(jnp.all(a == b))
+
+
+class TestMultihostInit:
+    def test_single_process_info(self):
+        from xicsrt_tpu.parallel import init_multihost, scaling_efficiency
+
+        info = init_multihost()
+        assert info["process_count"] >= 1
+        assert info["num_devices"] == len(jax.devices())
+        assert info["is_primary"] == (info["process_index"] == 0)
+        # Idempotent.
+        assert init_multihost() == info
+
+        eff = scaling_efficiency({1: 100.0, 8: 720.0})
+        assert eff[1] == pytest.approx(1.0)
+        assert eff[8] == pytest.approx(0.9)

@@ -389,26 +389,30 @@ def raytrace(config: dict) -> dict:
     g = config["general"]
     num_runs = int(g["number_of_runs"])
 
+    # In multi-host runs every process computes identical reduced results;
+    # only rank 0 writes/prints (single-process: process_index() == 0).
+    primary = jax.process_index() == 0
+
     outputs = []
     for run in range(num_runs):
         g["output_run_suffix"] = f"{run:04d}"
         result = raytrace_single(
             config, _pipeline=pipeline, _run_index=run, _runner=runner
         )
-        if g["save_images"]:
+        if g["save_images"] and primary:
             xio.save_images(result)
         outputs.append(result)
 
     result = combine_raytrace(outputs)
     g["output_run_suffix"] = None
 
-    if g["save_config"]:
+    if g["save_config"] and primary:
         xio.save_config(config)
-    if g["save_images"]:
+    if g["save_images"] and primary:
         xio.save_images(result)
-    if g["save_results"]:
+    if g["save_results"] and primary:
         xio.save_results(result)
-    if g["print_results"]:
+    if g["print_results"] and primary:
         print_raytrace(result)
     log.info("raytrace completed in %0.2f s", time.time() - t_start)
     return result

@@ -29,6 +29,42 @@ from jax import shard_map
 from xicsrt_tpu.engine import Pipeline
 
 
+def init_multihost(coordinator_address: str | None = None,
+                   num_processes: int | None = None,
+                   process_id: int | None = None) -> dict:
+    """Initialize the multi-host distributed runtime (idempotent).
+
+    Thin wrapper over ``jax.distributed.initialize``: on TPU pods the
+    arguments are auto-detected from the environment, on other setups pass
+    them explicitly. After this, ``ray_mesh()`` spans all *global* devices
+    and the engine's psum reductions ride ICI within a slice and DCN across
+    slices — replacing the reference's slurm-array + offline-merge recipe
+    (``doc_source/userguide/multiple_processors.rst:27-78``).
+
+    Returns ``{"process_index", "process_count", "num_devices",
+    "is_primary"}`` for rank-gated work (e.g., saving results).
+    """
+    already = jax.process_count() > 1
+    if not already and (coordinator_address or num_processes or
+                        jax.process_count() == 1):
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+        except (ValueError, RuntimeError):
+            # Single-process / already-initialized environments are fine:
+            # the mesh then covers the local devices only.
+            pass
+    return {
+        "process_index": jax.process_index(),
+        "process_count": jax.process_count(),
+        "num_devices": len(jax.devices()),
+        "is_primary": jax.process_index() == 0,
+    }
+
+
 def ray_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     """A 1-D mesh over the ray axis."""
     if devices is None:
