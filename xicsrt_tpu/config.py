@@ -63,6 +63,13 @@ def default_config() -> dict:
     g["dtype"] = "float32"
     g["interact_mode"] = "mc"
     g["image_mode"] = "nearest"
+    # Binning backend: 'xla' (chunked one-hot matmul scan) or 'pallas'
+    # (VMEM-resident kernel; nearest mode, TPU only). A/B'd on v5e in
+    # tools/bench_ab.py; 'xla' measured faster on the full pipeline.
+    g["binning"] = "xla"
+    # MXU operand dtype for binning ('float32'/'bfloat16'/None=ray dtype).
+    # bfloat16 doubles MXU throughput and is exact for unit ray weights.
+    g["binning_dtype"] = None
     g["devices"] = None
     g["shard_rays"] = False
     g["block_iterations"] = True  # run all iterations inside one jit via scan

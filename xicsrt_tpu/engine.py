@@ -115,6 +115,8 @@ class Pipeline:
         # All images accumulate in ONE fused pass over the ray axis
         # (separate chunked scans defeat XLA fusion of the trace pipeline).
         image_mode = str(g.get("image_mode", "nearest")).lower()
+        binning_impl = str(g.get("binning", "xla")).lower()
+        binning_dtype = g.get("binning_dtype")
 
         def iteration(params, key):
             k_source, k_optics = jax.random.split(key)
@@ -139,7 +141,13 @@ class Pipeline:
                     )
                     image_names.append(name)
             images = dict(
-                zip(image_names, bin_images_fused(image_inputs, image_mode))
+                zip(
+                    image_names,
+                    bin_images_fused(
+                        image_inputs, image_mode,
+                        impl=binning_impl, op_dtype=binning_dtype,
+                    ),
+                )
             )
             return {"meta": meta, "image": images, "history": history}
 
@@ -241,6 +249,25 @@ def _root_key(general: dict):
     return jax.random.key(int(seed))
 
 
+def _to_host(arr) -> np.ndarray:
+    """Device array -> host numpy, multi-host safe.
+
+    A history array from a multi-host sharded run is a global ``jax.Array``
+    whose shards live on other processes' devices; ``np.asarray`` on it
+    raises (non-addressable). Materialize the process-LOCAL shards instead,
+    concatenated in global axis-0 order — each host then compacts the rays
+    it owns (the cross-host merge is ``combine_raytrace`` on saved results,
+    as in the reference slurm recipe,
+    ``doc_source/userguide/multiple_processors.rst:56-78``).
+    """
+    if isinstance(arr, jax.Array) and not arr.is_fully_addressable:
+        shards = sorted(
+            arr.addressable_shards, key=lambda s: s.index[0].start or 0
+        )
+        return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+    return np.asarray(arr)
+
+
 def _sort_history(history_dev: dict, names: list, max_lost: int,
                   rng: np.random.Generator) -> tuple:
     """Split device history into found/lost, truncating lost rays.
@@ -251,13 +278,17 @@ def _sort_history(history_dev: dict, names: list, max_lost: int,
 
     ``names`` is the element order as configured (source first, final optic
     last); jit outputs have key-sorted dicts, so order is passed explicitly.
+
+    Multi-host: each process sorts the rays whose shards it owns (see
+    ``_to_host``); found/lost histories are per-process, while meta/image
+    stay globally reduced.
     """
     if not history_dev:
         return {}, {}
     source_name = names[0]
     last = names[-1]
-    final_mask = np.asarray(history_dev[last].mask)
-    born_mask = np.asarray(history_dev[source_name].mask)
+    final_mask = _to_host(history_dev[last].mask)
+    born_mask = _to_host(history_dev[source_name].mask)
     w_found = np.flatnonzero(final_mask)
     w_lost = np.flatnonzero(born_mask & ~final_mask)
     if len(w_lost) > max_lost:
@@ -267,11 +298,11 @@ def _sort_history(history_dev: dict, names: list, max_lost: int,
     for name in names:
         r = history_dev[name]
         arrays = {
-            "origin": np.asarray(r.origin),
-            "direction": np.asarray(r.direction),
-            "wavelength": np.asarray(r.wavelength),
-            "weight": np.asarray(r.weight),
-            "mask": np.asarray(r.mask),
+            "origin": _to_host(r.origin),
+            "direction": _to_host(r.direction),
+            "wavelength": _to_host(r.wavelength),
+            "weight": _to_host(r.weight),
+            "mask": _to_host(r.mask),
         }
         found[name] = {k: v[w_found] for k, v in arrays.items()}
         lost[name] = {k: v[w_lost] for k, v in arrays.items()}

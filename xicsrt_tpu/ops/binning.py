@@ -168,7 +168,8 @@ def bin_image_bilinear_matmul(
 
 
 def bin_images_fused(items: list, image_mode: str = "nearest",
-                     chunk: int = 1 << 17) -> list:
+                     chunk: int = 1 << 17, impl: str = "xla",
+                     op_dtype=None) -> list:
     """Accumulate SEVERAL images in one chunked pass over the ray axis.
 
     ``items``: list of (x_local, mask, weight, nx, ny, pixel_size), all with
@@ -180,15 +181,31 @@ def bin_images_fused(items: list, image_mode: str = "nearest",
     Returns the images in input order. Matmul (MXU) accumulation on
     accelerators; falls back to per-item scatter on CPU.
 
+    ``impl``: 'xla' (chunked scan of dot_generals, default) or 'pallas'
+    (hand-tiled VMEM-resident kernel, nearest mode only; config
+    ``general.binning``). ``op_dtype``: dtype of the one-hot/tent operands fed
+    to the MXU (config ``general.binning_dtype``). Accumulation is always
+    f32 via ``preferred_element_type``; ``bfloat16`` operands double MXU
+    throughput and are EXACT for nearest-mode binning with unit ray weights
+    (0/1 matrix entries are representable), but round non-unit weights to
+    8 mantissa bits. Default: the ray dtype.
+
     The default chunk (131072) was swept on TPU v5e: throughput is highly
-    sensitive to it (65536 hits a Mosaic tiling pathology ~50x slower;
-    131072 measured fastest at 8.2e10 rays/s on the example_02 chain).
+    sensitive to it (65536 hits a Mosaic tiling pathology ~50x slower).
     """
     if not items:
         return []
     scatter_fn = bin_image_bilinear if image_mode == "bilinear" else bin_image
     if jax.default_backend() == "cpu":
         return [scatter_fn(*item) for item in items]
+
+    if impl == "pallas" and image_mode == "nearest":
+        from xicsrt_tpu.ops.pallas_binning import bin_image_pallas
+
+        return [
+            bin_image_pallas(x, m, w, nx, ny, float(ps))
+            for (x, m, w, nx, ny, ps) in items
+        ]
 
     # The matmul form costs O(rays * nx * ny) MACs — past ~2^18 bins the
     # MXU work exceeds the serialized scatter. Route huge images (rare:
@@ -197,7 +214,9 @@ def bin_images_fused(items: list, image_mode: str = "nearest",
     big = [item[3] * item[4] > (1 << 18) for item in items]
     if any(big):
         small_items = [it for it, b in zip(items, big) if not b]
-        small_out = iter(bin_images_fused(small_items, image_mode, chunk))
+        small_out = iter(
+            bin_images_fused(small_items, image_mode, chunk, impl, op_dtype)
+        )
         return [
             scatter_fn(*it) if b else next(small_out)
             for it, b in zip(items, big)
@@ -205,6 +224,7 @@ def bin_images_fused(items: list, image_mode: str = "nearest",
 
     n = items[0][0].shape[0]
     dtype = items[0][0].dtype
+    op_dtype = dtype if op_dtype is None else jnp.dtype(op_dtype)
     chunk = min(chunk, max(n, 1))
     n_chunks = -(-n // chunk)
     pad = n_chunks * chunk - n
@@ -248,7 +268,7 @@ def bin_images_fused(items: list, image_mode: str = "nearest",
             new_images.append(
                 img
                 + jax.lax.dot_general(
-                    tx * wc[:, None], ty,
+                    (tx * wc[:, None]).astype(op_dtype), ty.astype(op_dtype),
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 ).astype(dtype)

@@ -56,7 +56,9 @@ def _bin_kernel(ix_ref, iy_ref, w_ref, out_ref, *, nx_pad, ny_pad):
     out_ref[:] += acc
 
 
-@functools.partial(jax.jit, static_argnames=("nx", "ny", "pixel_size", "chunk"))
+@functools.partial(
+    jax.jit, static_argnames=("nx", "ny", "pixel_size", "chunk", "interpret")
+)
 def bin_image_pallas(
     x_local: jax.Array,
     mask: jax.Array,
@@ -65,8 +67,13 @@ def bin_image_pallas(
     ny: int,
     pixel_size: float,
     chunk: int = 8192,
+    interpret: bool = False,
 ) -> jax.Array:
-    """Accumulate ray hits into an [nx, ny] image (TPU Pallas kernel)."""
+    """Accumulate ray hits into an [nx, ny] image (TPU Pallas kernel).
+
+    ``interpret=True`` runs the kernel through the Pallas interpreter
+    (CPU-testable; used by the test suite on the virtual-device mesh).
+    """
     n = x_local.shape[0]
     f32 = jnp.float32
     px = x_local[:, 0].astype(f32) / pixel_size + (nx - 1) / 2.0
@@ -107,6 +114,7 @@ def bin_image_pallas(
             (nx_pad, ny_pad), lambda i: (0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((nx_pad, ny_pad), f32),
+        interpret=interpret,
     )(ix, iy, w)
     return out[:nx, :ny].astype(x_local.dtype)
 

@@ -19,6 +19,7 @@ the global device list; the same code then spans DCN.
 
 from __future__ import annotations
 
+import logging
 import math
 
 import jax
@@ -27,6 +28,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from xicsrt_tpu.engine import Pipeline
+
+log = logging.getLogger("xicsrt_tpu")
 
 
 def init_multihost(coordinator_address: str | None = None,
@@ -44,9 +47,10 @@ def init_multihost(coordinator_address: str | None = None,
     Returns ``{"process_index", "process_count", "num_devices",
     "is_primary"}`` for rank-gated work (e.g., saving results).
     """
-    already = jax.process_count() > 1
-    if not already and (coordinator_address or num_processes or
-                        jax.process_count() == 1):
+    explicit = coordinator_address is not None or num_processes is not None
+    # NB: probing via jax.process_count() would itself initialize the XLA
+    # backend, after which jax.distributed.initialize refuses to run.
+    if not jax.distributed.is_initialized():
         try:
             jax.distributed.initialize(
                 coordinator_address=coordinator_address,
@@ -54,8 +58,14 @@ def init_multihost(coordinator_address: str | None = None,
                 process_id=process_id,
             )
         except (ValueError, RuntimeError):
-            # Single-process / already-initialized environments are fine:
-            # the mesh then covers the local devices only.
+            if explicit:
+                # The caller asked for a specific multi-host topology; a
+                # silent fallback would run N independent single-process
+                # jobs that all believe they are primary (every host would
+                # save results). Fail loudly instead.
+                raise
+            # Auto-detect path: single-process / already-initialized
+            # environments are fine; the mesh covers local devices only.
             pass
     return {
         "process_index": jax.process_index(),
@@ -84,12 +94,19 @@ def _shard_intensity(config: dict, n_devices: int) -> dict:
     import copy
 
     config = copy.deepcopy(config)
-    for source_config in config.get("sources", {}).values():
+    for name, source_config in config.get("sources", {}).items():
         intensity = float(source_config.get("intensity", 0.0))
         if source_config.get("use_poisson", False):
             source_config["intensity"] = intensity / n_devices
         else:
-            source_config["intensity"] = max(int(intensity // n_devices), 1)
+            per_device = max(int(intensity // n_devices), 1)
+            if per_device * n_devices != int(intensity):
+                log.warning(
+                    'Source "%s": intensity %g is not a multiple of the '
+                    "%d-device mesh; sharded total is %d rays.",
+                    name, intensity, n_devices, per_device * n_devices,
+                )
+            source_config["intensity"] = per_device
     return config
 
 
