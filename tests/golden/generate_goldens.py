@@ -64,23 +64,30 @@ BASE = {
 }
 
 
-def _with_crystal(_drop=(), **crystal_overrides):
+def _with_crystal(_drop=(), _intensity=None, **crystal_overrides):
     import copy
 
     config = copy.deepcopy(BASE)
     for key in _drop:
         config["optics"]["crystal"].pop(key, None)
     config["optics"]["crystal"].update(crystal_overrides)
+    if _intensity is not None:
+        config["sources"]["source"]["intensity"] = _intensity
     return config
 
 
 SCENARIOS = {
     # Exercises the quartic torus solver (reference _ShapeTorus.py:110-183).
+    # Wider rocking curve + 4x rays: the stock 48-urad width accepts only
+    # ~16 of 1e6 rays, leaving the image comparison statistically vacuous
+    # (ADVICE r1); same solver path, ~5000 counts.
     "torus": _with_crystal(
         _drop=("radius",),
         class_name="XicsrtOpticToroidalCrystal",
         radius_major=1.0,
         radius_minor=0.2,
+        rocking_fwhm=1e-3,
+        _intensity=4e5,
     ),
     # Exercises Möller–Trumbore + KD-tree refinement (_ShapeMesh.py:289-426).
     "mesh_sphere": _with_crystal(
@@ -96,6 +103,77 @@ SCENARIOS = {
         rocking_fwhm=150e-6,
     ),
 }
+
+
+# Gradient-golden operating point. The BASE geometry is an exact Rowland
+# configuration (source on the Rowland sphere), so at the stock 48-urad
+# rocking width the reflected intensity is a resonance ~4e-5 m wide in
+# crystal-y — no usable finite-difference exists there. The golden widens
+# the rocking curve (same physics path, broader resonance: response to y
+# measured smooth over +-1e-3 m) and detunes the crystal to the steep flank
+# of the acceptance curve, where d(efficiency)/dy is large and locally
+# linear (scanned with the reference: counts 80020 -> 253604 -> 382431 at
+# y = -5e-4, -2e-4, 0 for 2e6 rays).
+GRAD_FWHM = 1e-3
+GRAD_Y0 = -3e-4
+GRAD_DELTA = 1e-4
+
+
+def generate_gradient_golden():
+    """Finite-difference the CPU reference w.r.t. crystal origin y.
+
+    BASELINE.md's second clause demands gradient parity vs the CPU
+    reference: this golden central-differences the DETECTED EFFICIENCY
+    (detector image integral / rays generated) w.r.t. a global-y shift of
+    the crystal origin, at the operating point above. Three seeds quantify
+    the MC noise of the FD estimate; the parity test compares ``jax.grad``
+    of the weight-mode image integral against the seed-mean within the
+    seed spread.
+    """
+    import copy
+
+    import xicsrt
+
+    intensity = 1e6
+    num_iter = 10  # 1e7 rays per evaluation
+
+    def run(origin_y_shift, seed):
+        config = copy.deepcopy(BASE)
+        g = config["general"]
+        g["number_of_iter"] = num_iter
+        g["number_of_runs"] = 1
+        g["random_seed"] = seed
+        g["keep_history"] = False
+        config["sources"]["source"]["intensity"] = intensity
+        crystal = config["optics"]["crystal"]
+        crystal["rocking_fwhm"] = GRAD_FWHM
+        origin = list(crystal["origin"])
+        origin[1] += origin_y_shift
+        crystal["origin"] = origin
+        result = xicsrt.raytrace(config)
+        image = np.asarray(result["total"]["image"]["detector"], dtype=float)
+        n_gen = float(result["total"]["meta"]["source"]["num_out"])
+        return float(image.sum()) / n_gen
+
+    out = {
+        "delta": GRAD_DELTA, "y0": GRAD_Y0, "rocking_fwhm": GRAD_FWHM,
+        "n_rays": intensity * num_iter,
+    }
+    fds = []
+    for seed in (101, 202, 303):
+        eff_p = run(GRAD_Y0 + GRAD_DELTA, seed)
+        eff_m = run(GRAD_Y0 - GRAD_DELTA, seed)
+        fd = (eff_p - eff_m) / (2 * GRAD_DELTA)
+        out[f"fd_efficiency_seed{seed}"] = fd
+        fds.append(fd)
+        print(f"seed {seed}: d(eff)/dy = {fd:.4f} (eff {eff_m:.5f}/{eff_p:.5f})")
+    out["fd_efficiency_mean"] = np.mean(fds)
+    out["fd_efficiency_std"] = np.std(fds, ddof=1)
+    path = os.path.join(HERE, "gradient_reference.npz")
+    np.savez_compressed(path, **out)
+    print(f"gradient golden -> {path} "
+          f"(mean {out['fd_efficiency_mean']:.4f} "
+          f"+- {out['fd_efficiency_std']:.4f})")
 
 
 def run_reference(name, config):
@@ -121,11 +199,20 @@ def run_reference(name, config):
 def main():
     requested = sys.argv[1:] or [
         n
-        for n in SCENARIOS
-        if not os.path.exists(os.path.join(HERE, f"{n}_reference_image.npz"))
+        for n in list(SCENARIOS) + ["gradient"]
+        if not os.path.exists(
+            os.path.join(
+                HERE,
+                f"{n}_reference_image.npz" if n in SCENARIOS
+                else f"{n}_reference.npz",
+            )
+        )
     ]
     for name in requested:
-        run_reference(name, SCENARIOS[name])
+        if name == "gradient":
+            generate_gradient_golden()
+        else:
+            run_reference(name, SCENARIOS[name])
 
 
 if __name__ == "__main__":

@@ -314,4 +314,23 @@ class TestProfiler:
         text = profiler.report()
         assert "pipeline_build" in text
         assert "raytrace_run" in text
+        # Engine-path spans added for VERDICT r1 item 8.
+        assert "build_runner" in text
+        assert "sort_history" in text
+        assert "combine_raytrace" in text
         profiler.disable()
+
+    def test_device_trace_writes_profile(self, tmp_path):
+        """general.profile_dir captures a jax profiler trace of the run."""
+        logdir = tmp_path / "jaxprof"
+        config = _base_config()
+        config["general"]["profile_dir"] = str(logdir)
+        xicsrt_tpu.raytrace(config)
+        files = list(logdir.rglob("*"))
+        assert any(f.is_file() for f in files), files
+
+    def test_device_trace_noop_without_dir(self):
+        from xicsrt_tpu.utils.profiler import profiler
+
+        with profiler.device_trace(None):
+            pass

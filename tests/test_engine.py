@@ -124,6 +124,46 @@ class TestExample00:
         assert results["total"]["meta"]["source"]["num_out"] == 6000
         assert results["total"]["image"]["detector"].sum() == 6000
 
+    def test_keep_meta_off(self):
+        """keep_meta=False drops per-element counters (reference gate,
+        xicsrt_raytrace.py:187-201) while images still accumulate."""
+        results = xicsrt_tpu.raytrace(
+            _example_00(keep_meta=False, keep_history=False)
+        )
+        assert results["total"]["meta"] == {}
+        assert results["total"]["image"]["detector"].sum() == 2000
+
+    def test_block_iterations_off_matches_blocked(self):
+        """block_iterations=False (one jitted iteration, host loop) produces
+        exactly the blocked lax.scan result under the same seed."""
+        blocked = xicsrt_tpu.raytrace(_example_00(num_iter=3))
+        unblocked = xicsrt_tpu.raytrace(
+            _example_00(num_iter=3, block_iterations=False,
+                        keep_history=False)
+        )
+        np.testing.assert_array_equal(
+            blocked["total"]["image"]["detector"],
+            unblocked["total"]["image"]["detector"],
+        )
+        assert (
+            unblocked["total"]["meta"]["detector"]["num_out"]
+            == blocked["total"]["meta"]["detector"]["num_out"]
+        )
+
+    def test_found_lost_meta_counts(self):
+        """found/lost sections carry per-element num_out for the compacted
+        ray sets (extends the reference's empty found/lost meta)."""
+        config = _example_00()
+        config["optics"]["detector"]["xsize"] = 0.12  # vignetted
+        config["optics"]["detector"]["ysize"] = 0.12
+        results = xicsrt_tpu.raytrace(config)
+        n_found = results["total"]["meta"]["detector"]["num_out"]
+        assert results["found"]["meta"]["detector"]["num_out"] == n_found
+        assert results["found"]["meta"]["source"]["num_out"] == n_found
+        n_lost = results["lost"]["meta"]["source"]["num_out"]
+        assert n_lost == 2000 - n_found
+        assert results["lost"]["meta"]["detector"]["num_out"] == 0
+
 
 class TestExample01Bragg:
     def test_efficiency_matches_reference(self):

@@ -72,6 +72,8 @@ def default_config() -> dict:
     g["binning_dtype"] = None
     g["devices"] = None
     g["shard_rays"] = False
+    # Directory for a jax.profiler device trace of the run loop (None = off).
+    g["profile_dir"] = None
     g["block_iterations"] = True  # run all iterations inside one jit via scan
 
     config["sources"] = {}

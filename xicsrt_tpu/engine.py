@@ -118,12 +118,16 @@ class Pipeline:
         binning_impl = str(g.get("binning", "xla")).lower()
         binning_dtype = g.get("binning_dtype")
 
+        # keep_meta=False drops the per-element counters from the outputs,
+        # matching the reference's keep_meta gate (xicsrt_raytrace.py:187-201).
+        keep_meta = bool(g.get("keep_meta", True))
+
         def iteration(params, key):
             k_source, k_optics = jax.random.split(key)
             rays = generate(
                 params["sources"][source_name], params["filters"], k_source
             )
-            meta = {source_name: rays.num_alive()}
+            meta = {source_name: rays.num_alive()} if keep_meta else {}
             history = {source_name: rays} if keep_history else {}
             image_inputs = []
             image_names = []
@@ -131,7 +135,8 @@ class Pipeline:
                 rays, x_local = trace(
                     params["optics"][name], rays, jax.random.fold_in(k_optics, idx)
                 )
-                meta[name] = rays.num_alive()
+                if keep_meta:
+                    meta[name] = rays.num_alive()
                 if keep_history:
                     history[name] = rays
                 if keep_images and name in image_specs:
@@ -357,6 +362,32 @@ def build_runner(config: dict, pipeline: Pipeline | None = None):
             return {"meta": meta, "image": image, "history": history}
 
         return runner, pipeline
+    if not bool(g.get("block_iterations", True)) and num_iter > 1:
+        # Unblocked mode: compile ONE iteration and loop on the host,
+        # accumulating images/meta on device between dispatches. Trades
+        # per-iteration dispatch overhead for a num_iter-times smaller XLA
+        # program — useful when iterating on configs interactively.
+        iteration = jax.jit(pipeline.make_iteration())
+
+        def runner(params, key):
+            keys = jax.random.split(key, num_iter)
+            acc = iteration(params, keys[0])
+            for k in keys[1:]:
+                out = iteration(params, k)
+                acc = {
+                    "meta": {
+                        n: acc["meta"][n] + out["meta"][n]
+                        for n in out["meta"]
+                    },
+                    "image": {
+                        n: acc["image"][n] + out["image"][n]
+                        for n in out["image"]
+                    },
+                    "history": {},
+                }
+            return acc
+
+        return runner, pipeline
     run_fn = pipeline.make_run(num_iter)
     return jax.jit(run_fn), pipeline
 
@@ -385,9 +416,20 @@ def raytrace_single(config: dict, _pipeline: Pipeline | None = None,
     rng = np.random.default_rng(
         None if g["random_seed"] is None else int(g["random_seed"]) + _run_index
     )
-    found, lost = _sort_history(
-        out["history"], pipeline.element_names, int(g["history_max_lost"]), rng
-    )
+    with profiler.span("sort_history"):
+        found, lost = _sort_history(
+            out["history"], pipeline.element_names,
+            int(g["history_max_lost"]), rng,
+        )
+
+    def _section_meta(history):
+        # Per-element alive counts within the compacted section (extends the
+        # reference, which leaves found/lost meta empty,
+        # xicsrt_raytrace.py:245,249; lost counts reflect the truncated set).
+        return {
+            name: {"num_out": int(rays["mask"].sum())}
+            for name, rays in history.items()
+        }
 
     result = {
         "config": config,
@@ -399,8 +441,8 @@ def raytrace_single(config: dict, _pipeline: Pipeline | None = None,
             },
             "image": {name: np.asarray(img) for name, img in out["image"].items()},
         },
-        "found": {"meta": {}, "history": found},
-        "lost": {"meta": {}, "history": lost},
+        "found": {"meta": _section_meta(found), "history": found},
+        "lost": {"meta": _section_meta(lost), "history": lost},
     }
     return result
 
@@ -415,7 +457,8 @@ def raytrace(config: dict) -> dict:
     from xicsrt_tpu import io as xio
 
     t_start = time.time()
-    runner, pipeline = build_runner(config)
+    with profiler.span("build_runner"):
+        runner, pipeline = build_runner(config)
     config = pipeline.config
     g = config["general"]
     num_runs = int(g["number_of_runs"])
@@ -425,16 +468,22 @@ def raytrace(config: dict) -> dict:
     primary = jax.process_index() == 0
 
     outputs = []
-    for run in range(num_runs):
-        g["output_run_suffix"] = f"{run:04d}"
-        result = raytrace_single(
-            config, _pipeline=pipeline, _run_index=run, _runner=runner
-        )
-        if g["save_images"] and primary:
-            xio.save_images(result)
-        outputs.append(result)
+    # general.profile_dir: capture a device-level jax profiler trace of the
+    # whole run loop (TPU equivalent of the reference's profiler spans
+    # through the engine, xicsrt_raytrace.py:43,103,183).
+    with profiler.device_trace(g.get("profile_dir")):
+        for run in range(num_runs):
+            g["output_run_suffix"] = f"{run:04d}"
+            result = raytrace_single(
+                config, _pipeline=pipeline, _run_index=run, _runner=runner
+            )
+            if g["save_images"] and primary:
+                with profiler.span("save_images"):
+                    xio.save_images(result)
+            outputs.append(result)
 
-    result = combine_raytrace(outputs)
+    with profiler.span("combine_raytrace"):
+        result = combine_raytrace(outputs)
     g["output_run_suffix"] = None
 
     if g["save_config"] and primary:
@@ -442,7 +491,8 @@ def raytrace(config: dict) -> dict:
     if g["save_images"] and primary:
         xio.save_images(result)
     if g["save_results"] and primary:
-        xio.save_results(result)
+        with profiler.span("save_results"):
+            xio.save_results(result)
     if g["print_results"] and primary:
         print_raytrace(result)
     log.info("raytrace completed in %0.2f s", time.time() - t_start)
@@ -485,6 +535,12 @@ def combine_raytrace(input_list: list) -> dict:
                     [r[section]["history"][name][k] for r in input_list]
                 )
                 for k in keys
+            }
+        for name in input_list[0][section]["meta"]:
+            output[section]["meta"][name] = {
+                "num_out": int(
+                    sum(r[section]["meta"][name]["num_out"] for r in input_list)
+                )
             }
     return output
 

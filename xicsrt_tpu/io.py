@@ -105,16 +105,30 @@ def _np_default(obj):
 # Results save/load (cf. xicsrt_io.py:148-200).
 # ---------------------------------------------------------------------------
 
-def save_results(results, filename: str | None = None) -> str:
+def save_results(results, filename: str | None = None,
+                 include=None, exclude=None) -> str:
+    """Save a results dict.
+
+    ``include``/``exclude``: regex key filters applied at every nesting
+    level of the HDF5 writer (cf. reference ``mirhdf5.py:333-366``) — e.g.
+    ``exclude='history'`` drops the (large) ray histories from the file.
+    A ``.zip`` filename writes a deflate-compressed archive
+    (cf. ``mirhdf5.dictToHdf5Zip``).
+    """
     config = results["config"]
     _ensure_dir(config)
     if filename is None:
         filename = generate_filename(config, "results")
     ext = os.path.splitext(filename)[1].lower()
-    if ext in (".hdf5", ".h5"):
+    if ext == ".zip":
         from xicsrt_tpu.utils import hdf5_dict
 
-        hdf5_dict.save(filename, results)
+        hdf5_dict.save_zip(filename, results, include=include,
+                           exclude=exclude)
+    elif ext in (".hdf5", ".h5"):
+        from xicsrt_tpu.utils import hdf5_dict
+
+        hdf5_dict.save(filename, results, include=include, exclude=exclude)
     elif ext in (".pickle", ".pkl"):
         with open(filename, "wb") as fh:
             pickle.dump(results, fh)
@@ -129,6 +143,10 @@ def save_results(results, filename: str | None = None) -> str:
 
 def load_results(filename: str) -> dict:
     ext = os.path.splitext(filename)[1].lower()
+    if ext == ".zip":
+        from xicsrt_tpu.utils import hdf5_dict
+
+        return hdf5_dict.load_zip(filename)
     if ext in (".hdf5", ".h5"):
         from xicsrt_tpu.utils import hdf5_dict
 

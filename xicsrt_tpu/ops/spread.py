@@ -104,18 +104,28 @@ def sample_isotropic_xy(key, n: int, spread, dtype=jnp.float32, newton_iters: in
     u = jax.random.uniform(ku, (n,), dtype=dtype)
     v = jax.random.uniform(kv, (n,), dtype=dtype)
 
-    g0 = _isotropic_xy_marginal(jnp.asarray(sx0, dtype), sb0, sb1)
-    g1 = _isotropic_xy_marginal(jnp.asarray(sx1, dtype), sb0, sb1)
-    target = g0 + u * (g1 - g0)
+    if sb0 == -sb1 and sb1 > 0.0:
+        # Symmetric y-bounds (1- and 2-element spreads — the common case):
+        # G(sx) = 2 arcsin(sx sb1), so the marginal inverts in CLOSED FORM.
+        # This removes the Newton loop (2 arcsin + 2 rsqrt per iteration per
+        # ray) from the hot sampling path.
+        g0 = 2.0 * math.asin(sx0 * sb1)
+        g1 = 2.0 * math.asin(sx1 * sb1)
+        target = g0 + u * (g1 - g0)
+        sx = jnp.sin(target * 0.5) / sb1
+    else:
+        g0 = _isotropic_xy_marginal(jnp.asarray(sx0, dtype), sb0, sb1)
+        g1 = _isotropic_xy_marginal(jnp.asarray(sx1, dtype), sb0, sb1)
+        target = g0 + u * (g1 - g0)
 
-    # Newton with bracket clamping on the monotonic marginal CDF.
-    sx = sx0 + u * (sx1 - sx0)
-    for _ in range(newton_iters):
-        g = _isotropic_xy_marginal(sx, sb0, sb1)
-        dg = sb1 / jnp.sqrt(jnp.maximum(1.0 - (sx * sb1) ** 2, 1e-12)) - sb0 / jnp.sqrt(
-            jnp.maximum(1.0 - (sx * sb0) ** 2, 1e-12)
-        )
-        sx = jnp.clip(sx - (g - target) / jnp.maximum(dg, 1e-12), sx0, sx1)
+        # Newton with bracket clamping on the monotonic marginal CDF.
+        sx = sx0 + u * (sx1 - sx0)
+        for _ in range(newton_iters):
+            g = _isotropic_xy_marginal(sx, sb0, sb1)
+            dg = sb1 / jnp.sqrt(
+                jnp.maximum(1.0 - (sx * sb1) ** 2, 1e-12)
+            ) - sb0 / jnp.sqrt(jnp.maximum(1.0 - (sx * sb0) ** 2, 1e-12))
+            sx = jnp.clip(sx - (g - target) / jnp.maximum(dg, 1e-12), sx0, sx1)
 
     tx = sx / jnp.sqrt(jnp.maximum(1.0 - sx * sx, 1e-12))
     k2 = 1.0 + tx * tx

@@ -240,41 +240,68 @@ class InteractMosaicCrystal(InteractCrystal):
                 angle_cutoff = math.sqrt(-math.log(cutoff) * 2.0) * mosaic_sigma
                 mask = mask & (jnp.abs(bragg - incident) < angle_cutoff)
 
-            def layer(ii, carry):
-                direction, weight, reflected_mask = carry
-                layer_key = jax.random.fold_in(key, ii)
-                k_norm, k_accept = jax.random.split(layer_key)
-                norm_m = mosaic_normals(norm, k_norm, n, dtype)
-                tmp_rays = rays.replace(direction=direction)
-                bragg, incident = self.angle_calc(params, tmp_rays, norm_m)
-                p = prob_fn(params, incident - bragg)
-                active = mask & ~reflected_mask
-                if mode == "mc":
+            if mode == "mc":
+
+                def layer(ii, carry):
+                    direction, reflected_mask = carry
+                    layer_key = jax.random.fold_in(key, ii)
+                    k_norm, k_accept = jax.random.split(layer_key)
+                    norm_m = mosaic_normals(norm, k_norm, n, dtype)
+                    tmp_rays = rays.replace(direction=direction)
+                    bragg, incident = self.angle_calc(params, tmp_rays, norm_m)
+                    p = prob_fn(params, incident - bragg)
+                    active = mask & ~reflected_mask
                     u = jax.random.uniform(k_accept, (n,), dtype=dtype)
                     accept = active & (p >= u)
-                    new_weight = weight
-                else:
-                    # Weight mode: reflect off the layer-0 crystallite with
-                    # the single-interaction probability; deeper layers carry
-                    # the survival weight.
-                    accept = active
-                    new_weight = jnp.where(active, weight * p, weight)
-                refl = vec.reflect(direction, norm_m)
-                direction = jnp.where(accept[:, None], refl, direction)
-                reflected_mask = reflected_mask | accept
-                return direction, new_weight, reflected_mask
+                    refl = vec.reflect(direction, norm_m)
+                    direction = jnp.where(accept[:, None], refl, direction)
+                    return direction, reflected_mask | accept
 
-            direction, weight, reflected_mask = rays.direction, rays.weight, jnp.zeros(n, dtype=bool)
-            if mode == "mc":
-                direction, weight, reflected_mask = jax.lax.fori_loop(
-                    0, depth, layer, (direction, weight, reflected_mask)
+                direction, reflected_mask = jax.lax.fori_loop(
+                    0, depth, layer,
+                    (rays.direction, jnp.zeros(n, dtype=bool)),
                 )
-                mask = mask & reflected_mask
-            else:
-                # One-layer differentiable approximation in weight mode.
-                direction, weight, reflected_mask = layer(
-                    0, (direction, weight, reflected_mask)
+                return rays.replace(
+                    direction=direction, mask=mask & reflected_mask
                 )
+
+            # Weight mode: depth-aware survival weighting. With per-layer
+            # acceptance probabilities p_i over the same sampled crystallite
+            # normals as mc mode, the ray reflects with total probability
+            # P = 1 - prod_i(1 - p_i), at layer i with probability
+            # q_i = p_i * prod_{j<i}(1 - p_j). The weight multiplies by P
+            # (differentiable through every layer's p_i); the outgoing
+            # direction is drawn from the exact conditional distribution
+            # q_i / P by online categorical (reservoir) sampling, so the
+            # expected image matches the mc estimator while gradients flow
+            # through pose, d-spacing, rocking width and mosaic spread.
+            # (Replaces the round-1 single-layer approximation;
+            # cf. _InteractMosaicCrystal.py:53-139.)
+            def layer(ii, carry):
+                chosen_dir, surv, cum = carry
+                layer_key = jax.random.fold_in(key, ii)
+                k_norm, k_pick = jax.random.split(layer_key)
+                norm_m = mosaic_normals(norm, k_norm, n, dtype)
+                bragg, incident = self.angle_calc(params, rays, norm_m)
+                p = prob_fn(params, incident - bragg)
+                q = p * surv
+                cum_new = cum + q
+                u = jax.random.uniform(k_pick, (n,), dtype=dtype)
+                pick = u * cum_new < q  # replace prob q / cum_new
+                refl = vec.reflect(rays.direction, norm_m)
+                chosen_dir = jnp.where(pick[:, None], refl, chosen_dir)
+                return chosen_dir, surv * (1.0 - p), cum_new
+
+            ones = jnp.ones(n, dtype=dtype)
+            chosen_dir, surv, cum = jax.lax.fori_loop(
+                0, depth, layer, (rays.direction, ones, ones * 0.0)
+            )
+            p_total = cum  # == 1 - prod_i(1 - p_i)
+            weight = jnp.where(mask, rays.weight * p_total, rays.weight)
+            reflected = mask & (p_total > 0.0)
+            direction = jnp.where(
+                reflected[:, None], chosen_dir, rays.direction
+            )
             return rays.replace(direction=direction, mask=mask, weight=weight)
 
         return interact

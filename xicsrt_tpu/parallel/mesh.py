@@ -143,7 +143,10 @@ def make_sharded_run(config: dict, num_iter: int | None = None,
         return {"meta": meta, "image": image, "history": out["history"]}
 
     # Output specs: reductions are replicated; history shards on the ray axis.
-    meta_spec = {k: P() for k in pipeline.element_names}
+    meta_spec = (
+        {k: P() for k in pipeline.element_names}
+        if g.get("keep_meta", True) else {}
+    )
     image_names = list(pipeline.image_specs().keys())
     use_images = g["keep_images"] if keep_images is None else keep_images
     image_spec = {k: P() for k in image_names} if use_images else {}

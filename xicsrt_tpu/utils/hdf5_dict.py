@@ -2,10 +2,15 @@
 
 Equivalent of ``xicsrt/util/mirhdf5.py``: arbitrarily nested dicts of
 ndarrays / scalars / strings / lists / None round-trip through HDF5 groups,
-with python types recorded as attributes.
+with python types recorded as attributes. Also provides the reference's
+zip-compressed variants (``mirhdf5.py:120-189``) and regex include/exclude
+key filters on save (``mirhdf5.py:333-366``) — e.g. to drop large ray
+histories from results files.
 """
 
 from __future__ import annotations
+
+import re
 
 import numpy as np
 
@@ -17,11 +22,39 @@ except ImportError:  # pragma: no cover
     HAVE_H5PY = False
 
 
-def save(filename: str, data: dict) -> None:
+def _compile_filters(include, exclude):
+    """Reference semantics (``mirhdf5.py:333-366``): exclude is applied
+    first, include re-includes; giving only ``include`` excludes everything
+    else. Patterns are regexes matched against the bare key at EVERY
+    nesting level."""
+    if include is not None:
+        if isinstance(include, str):
+            include = [include]
+        include = [re.compile(p) for p in include]
+        if exclude is None:
+            exclude = [".*"]
+    if exclude is not None:
+        if isinstance(exclude, str):
+            exclude = [exclude]
+        exclude = [re.compile(p) for p in exclude]
+    return include, exclude
+
+
+def _key_included(key: str, include, exclude) -> bool:
+    status = True
+    if exclude and any(p.match(key) for p in exclude):
+        status = False
+    if include and any(p.match(key) for p in include):
+        status = True
+    return status
+
+
+def save(filename: str, data: dict, include=None, exclude=None) -> None:
     if not HAVE_H5PY:
         raise ImportError("h5py is required for HDF5 output.")
+    include, exclude = _compile_filters(include, exclude)
     with h5py.File(filename, "w") as fh:
-        _write_group(fh, data)
+        _write_group(fh, data, include, exclude)
 
 
 def load(filename: str) -> dict:
@@ -31,13 +64,50 @@ def load(filename: str) -> dict:
         return _read_group(fh)
 
 
-def _write_group(group, data: dict) -> None:
+def save_zip(filename: str, data: dict, **kwargs) -> None:
+    """Write the HDF5 file, then move it into a deflate zip archive
+    (cf. ``mirhdf5.dictToHdf5Zip`` :120-153)."""
+    import pathlib
+    import zipfile
+
+    p = pathlib.Path(filename)
+    file_z = str(p) if p.suffix == ".zip" else str(p) + ".zip"
+    file_h = str(p.parent / p.stem) if p.suffix == ".zip" else str(p)
+    save(file_h, data, **kwargs)
+    with zipfile.ZipFile(
+        file_z, mode="w", compression=zipfile.ZIP_DEFLATED, compresslevel=6
+    ) as zf:
+        zf.write(file_h, pathlib.Path(file_h).name)
+    pathlib.Path(file_h).unlink()
+
+
+def load_zip(filename: str) -> dict:
+    """Extract the single HDF5 member, read it, delete the extraction
+    (cf. ``mirhdf5.hdf5ZipToDict`` :156-189)."""
+    import pathlib
+    import zipfile
+
+    p = pathlib.Path(filename)
+    file_z = str(p) if p.suffix == ".zip" else str(p) + ".zip"
+    with zipfile.ZipFile(file_z, mode="r") as zf:
+        info = zf.infolist()[0]
+        info.filename = pathlib.Path(info.filename).name
+        extracted = pathlib.Path(p.parent) / info.filename
+        zf.extract(info, p.parent)
+    data = load(str(extracted))
+    extracted.unlink()
+    return data
+
+
+def _write_group(group, data: dict, include=None, exclude=None) -> None:
     for key, value in data.items():
         key = str(key)
+        if not _key_included(key, include, exclude):
+            continue
         if isinstance(value, dict):
             sub = group.create_group(key)
             sub.attrs["_pytype"] = "dict"
-            _write_group(sub, value)
+            _write_group(sub, value, include, exclude)
         elif value is None:
             ds = group.create_dataset(key, data=0)
             ds.attrs["_pytype"] = "none"

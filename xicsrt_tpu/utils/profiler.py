@@ -2,11 +2,14 @@
 
 Equivalent of ``xicsrt/util/profiler.py:23-96``: opt-in global region timers
 with call counts and a sorted report. Regions wrapping jitted calls measure
-host wall time; use ``jax.profiler`` traces for device-level timelines.
+host wall time; ``device_trace`` wraps ``jax.profiler.trace`` for
+device-level timelines (config ``general.profile_dir`` turns it on for a
+whole raytrace).
 """
 
 from __future__ import annotations
 
+import contextlib
 import time
 
 
@@ -41,6 +44,28 @@ class Profiler:
         entry["time_total"] += time.perf_counter() - entry["time_start"]
         entry["time_start"] = None
         entry["num_calls"] += 1
+
+    @contextlib.contextmanager
+    def span(self, name: str):
+        """Context-manager form of start/stop."""
+        self.start(name)
+        try:
+            yield
+        finally:
+            self.stop(name)
+
+    @contextlib.contextmanager
+    def device_trace(self, logdir: str | None):
+        """Capture a jax profiler trace (device-level op timeline, viewable
+        in TensorBoard/Perfetto) around the enclosed region. No-op when
+        ``logdir`` is falsy, so callers can pass the config value through."""
+        if not logdir:
+            yield
+            return
+        import jax
+
+        with jax.profiler.trace(str(logdir)):
+            yield
 
     def report(self) -> str:
         lines = ["{:>12s} {:>8s}  {}".format("total [s]", "calls", "region")]

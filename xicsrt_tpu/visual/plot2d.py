@@ -15,7 +15,15 @@ from xicsrt_tpu.public import get_element
 
 def _local_points(results, name, section):
     """Intersection points of `section` ('found'|'lost') rays at optic
-    ``name``, in the optic local frame."""
+    ``name``, in the optic local frame.
+
+    Lost rays that never reached this optic keep their upstream positions
+    (the engine leaves non-intersecting origins unchanged so arrays stay
+    finite for gradients, ``optics/base.py``); those stale points are
+    filtered out by requiring the local position to lie in the optic's
+    bounding region (its x/y extent with a small margin, and near the
+    surface in z).
+    """
     history = results.get(section, {}).get("history", {})
     if name not in history:
         return np.zeros((0, 3))
@@ -23,13 +31,22 @@ def _local_points(results, name, section):
     pts = np.asarray(history[name]["origin"])
     mask = np.asarray(history[name]["mask"])
     if section == "lost":
-        # Lost rays: plot those that intersected this optic (finite origin
-        # change); masked-out rays keep earlier positions, so filter to those
-        # within the optic bounding region below.
         sel = np.ones(len(pts), dtype=bool)
     else:
         sel = mask
     local = np.asarray(element.frame.point_to_local(pts[sel]))
+    if section == "lost" and len(local):
+        xsize = element.param.get("xsize")
+        ysize = element.param.get("ysize")
+        keep = np.ones(len(local), dtype=bool)
+        if xsize:
+            keep &= np.abs(local[:, 0]) <= 0.75 * xsize
+        if ysize:
+            keep &= np.abs(local[:, 1]) <= 0.75 * ysize
+        if xsize and ysize:
+            # Rays that stopped upstream sit far off the optic surface.
+            keep &= np.abs(local[:, 2]) <= 0.5 * max(xsize, ysize)
+        local = local[keep]
     return local
 
 
@@ -71,10 +88,14 @@ def _aperture_outlines(element):
     return outlines
 
 
-def plot_intersect(results, name=None, show_lost=True, ax=None, marker_size=2.0):
-    """Scatter of ray intersections at an optic, in local coordinates.
+def plot_intersect(results, name=None, show_lost=True, ax=None,
+                   marker_size=2.0, histograms=True, bins=64):
+    """Scatter of ray intersections at an optic, in local coordinates, with
+    marginal per-axis histograms of the found rays.
 
-    Cf. ``xicsrt_2d__matplotlib.plot_intersect`` (:66-129).
+    Cf. ``xicsrt_2d__matplotlib.plot_intersect`` (:66-129), which draws the
+    same joint scatter + marginal histogram layout. Passing an existing
+    ``ax`` (or ``histograms=False``) draws the scatter only.
     """
     import matplotlib.pyplot as plt
 
@@ -83,8 +104,21 @@ def plot_intersect(results, name=None, show_lost=True, ax=None, marker_size=2.0)
         name = list(config["optics"].keys())[-1]
     element = get_element(config, name)
 
+    hist_x = hist_y = None
     if ax is None:
-        fig, ax = plt.subplots(figsize=(7, 6))
+        if histograms:
+            fig = plt.figure(figsize=(8, 7))
+            gs = fig.add_gridspec(
+                2, 2, width_ratios=(5, 1), height_ratios=(1, 5),
+                wspace=0.05, hspace=0.05,
+            )
+            ax = fig.add_subplot(gs[1, 0])
+            hist_x = fig.add_subplot(gs[0, 0], sharex=ax)
+            hist_y = fig.add_subplot(gs[1, 1], sharey=ax)
+            hist_x.tick_params(labelbottom=False)
+            hist_y.tick_params(labelleft=False)
+        else:
+            fig, ax = plt.subplots(figsize=(7, 6))
     else:
         fig = ax.figure
 
@@ -97,6 +131,10 @@ def plot_intersect(results, name=None, show_lost=True, ax=None, marker_size=2.0)
     if len(found):
         ax.plot(found[:, 0], found[:, 1], ".", color="tab:red",
                 markersize=marker_size, label="found")
+        if hist_x is not None:
+            hist_x.hist(found[:, 0], bins=bins, color="tab:red", alpha=0.75)
+            hist_y.hist(found[:, 1], bins=bins, color="tab:red", alpha=0.75,
+                        orientation="horizontal")
 
     outline = _bounds_outline(element)
     if outline is not None:
@@ -106,7 +144,11 @@ def plot_intersect(results, name=None, show_lost=True, ax=None, marker_size=2.0)
 
     ax.set_xlabel("x [m] (optic local)")
     ax.set_ylabel("y [m] (optic local)")
-    ax.set_title(f"Intersections: {name}")
+    title = f"Intersections: {name}"
+    if hist_x is not None:
+        hist_x.set_title(title)
+    else:
+        ax.set_title(title)
     ax.set_aspect("equal")
     ax.legend(loc="upper right", fontsize=8)
     return fig
