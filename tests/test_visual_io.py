@@ -178,6 +178,50 @@ class TestPlot3D:
         np.testing.assert_allclose(el.rho_from_car(car), el._rho(car, np))
 
 
+class TestPlotlist:
+    def test_declarative_plotlist_renders(self, tmp_path):
+        """mirplot-equivalent declarative layer (ref mirplot.py:111-420)."""
+        from xicsrt_tpu.utils.plotlist import plot_to_screen
+
+        x = np.linspace(0, 1, 50)
+        plotlist = [
+            {"type": "line", "x": x, "y": x**2, "label": "quadratic",
+             "xlabel": "x", "ylabel": "y", "title": "main"},
+            {"type": "scatter", "x": x, "y": np.sin(x), "axes": 0},
+            {"type": "hist", "x": np.random.default_rng(0).normal(size=500),
+             "bins": 20, "axes": 1, "yscale": "log"},
+            {"type": "errorbar", "x": x[:10], "y": x[:10],
+             "yerr": 0.05 * np.ones(10), "axes": 1},
+            {"type": "image", "z": np.arange(12.0).reshape(3, 4), "axes": 2},
+        ]
+        out = tmp_path / "plotlist.png"
+        fig = plot_to_screen(plotlist, filename=str(out))
+        assert out.stat().st_size > 1000
+        assert len([a for a in fig.axes if a.get_visible()]) >= 3
+
+    def test_plotlist_unknown_type(self):
+        from xicsrt_tpu.utils.plotlist import plot_to_screen
+
+        with pytest.raises(ValueError):
+            plot_to_screen([{"type": "nope", "x": [1], "y": [1]}])
+
+    def test_color_helpers(self):
+        """mircolor-equivalent gradients (ref mircolor.py:99-221)."""
+        from xicsrt_tpu.utils import colors
+
+        g = colors.gradient(5, "viridis")
+        assert len(g) == 5 and len(g[0]) == 4
+        c, norm = colors.color_by_value([1.0, 2.0, 3.0])
+        assert c.shape == (3, 4)
+        assert norm.vmin == 1.0 and norm.vmax == 3.0
+        assert colors.to_hex((1.0, 0.0, 0.0)).startswith("#")
+
+    def test_rays_colored_by_wavelength(self, results):
+        fig3d = plot3d.figure(backend="matplotlib")
+        plot3d.add_rays(fig3d, results, color_by="wavelength", max_rays=50)
+        assert len(fig3d._lines) >= 1
+
+
 class TestIO:
     def test_results_hdf5_roundtrip(self, results, tmp_path):
         path = str(tmp_path / "results.hdf5")

@@ -119,7 +119,14 @@ class SourceGeneric(GeometryElement):
         n = self.num_rays
         dtype = self.dtype
 
-        if spatial == "uniform":
+        if all(s == 0.0 for s in sizes):
+            # Point source: no spatial randomness — skip the 3 uniform
+            # draws per ray entirely (the bench profile showed RNG on the
+            # hot path).
+            def local_offsets(key):
+                return jnp.zeros((n, 3), dtype=dtype)
+
+        elif spatial == "uniform":
 
             def local_offsets(key):
                 u = jax.random.uniform(

@@ -132,10 +132,14 @@ def figure(backend=None) -> Scene:
 
 
 def add_rays(scene: Scene, results, section="found", max_rays=1000,
-             color=None):
+             color=None, color_by=None, cmap="plasma", color_groups=8):
     """Add ray paths between consecutive elements from the history.
 
-    Cf. ``xicsrt_3d__plotly.add_rays`` (:113-229).
+    Cf. ``xicsrt_3d__plotly.add_rays`` (:113-229). ``color_by='wavelength'``
+    colors rays by a gradient over their wavelengths (the ray-history
+    color-gradient capability of the reference's ``mircolor.py:99-221``),
+    quantized into ``color_groups`` buckets so each bucket renders as one
+    line batch.
     """
     history = results.get(section, {}).get("history", {})
     names = list(history.keys())
@@ -146,16 +150,39 @@ def add_rays(scene: Scene, results, section="found", max_rays=1000,
     idx = np.linspace(0, n - 1, take).astype(int) if n else []
     if color is None:
         color = "red" if section == "found" else "gray"
-    segments = []
-    for a, b in zip(names[:-1], names[1:]):
-        p0 = np.asarray(history[a]["origin"])[idx]
-        p1 = np.asarray(history[b]["origin"])[idx]
-        # Only draw segments for rays that actually moved to element b.
-        moved = np.linalg.norm(p1 - p0, axis=1) > 1e-12
-        segments.append(np.stack([p0[moved], p1[moved]], axis=1))
-    if segments:
-        scene.add_line_segments(np.concatenate(segments), color=color,
-                                name=f"{section} rays")
+
+    if color_by is not None:
+        from xicsrt_tpu.utils import colors as mcol
+
+        values = np.asarray(history[names[-1]][color_by])[idx]
+        edges = np.quantile(values, np.linspace(0, 1, color_groups + 1))
+        group = np.clip(
+            np.searchsorted(edges[1:-1], values, side="right"),
+            0, color_groups - 1,
+        )
+        palette = [mcol.to_hex(c) for c in mcol.gradient(color_groups, cmap)]
+    else:
+        group = np.zeros(len(idx), dtype=int)
+        palette = {0: color}
+        color_groups = 1
+
+    for gi in range(color_groups):
+        sel = group == gi
+        if not np.any(sel):
+            continue
+        segments = []
+        for a, b in zip(names[:-1], names[1:]):
+            p0 = np.asarray(history[a]["origin"])[idx][sel]
+            p1 = np.asarray(history[b]["origin"])[idx][sel]
+            # Only draw segments for rays that actually moved to element b.
+            moved = np.linalg.norm(p1 - p0, axis=1) > 1e-12
+            segments.append(np.stack([p0[moved], p1[moved]], axis=1))
+        if segments:
+            scene.add_line_segments(
+                np.concatenate(segments), color=palette[gi],
+                name=f"{section} rays" if color_groups == 1
+                else f"{section} rays [{gi}]",
+            )
     return scene
 
 
