@@ -7,6 +7,17 @@ Baseline: the CPU reference (PrincetonUniversity/xicsrt v0.8.13) measured at
 richer spectrometer benched here (source -> aperture -> Bragg crystal ->
 detector) is strictly more work per ray, so vs_baseline is conservative.
 
+Engines (XICSRT_BENCH_ENGINE):
+
+- ``fused`` (default): the single-Pallas-megakernel engine
+  (ops/fused_trace.py) — generate + trace + MXU binning with zero per-ray
+  HBM traffic. Measured v5e: ~1.8e9 rays/s.
+- ``xla``: the general differentiable XLA engine — one fused XLA program
+  per iteration. Measured v5e: ~5.9e8 rays/s (per-iteration batch 2^22 is
+  the sweet spot: 2^21 -> 4.9e8, 2^22 -> 5.9e8, 2^23 -> 5.1e8,
+  2^25 -> 4.4e8; small batches pay launch overhead, large ones pay HBM
+  traffic at XLA fusion boundaries).
+
 Self-verification (round-1 verdict: the old timing loop let independent
 dispatches overlap on the asynchronous remote backend, overstating
 throughput by orders of magnitude):
@@ -19,8 +30,9 @@ throughput by orders of magnitude):
    counters exactly (mc mode, unit weights), and per-dispatch detected
    counts must agree within a Poisson band;
 3. implied MXU FLOP/s is computed from the known binning MAC count
-   (sum of nx*ny per image per ray) and ASSERTED below the one-chip peak;
-   the reported "mfu" field makes the physical plausibility auditable.
+   (sum of nx*ny per image per ray; PADDED dims for the fused engine) and
+   ASSERTED below the one-chip peak; the reported "mfu" field makes the
+   physical plausibility auditable.
 """
 
 import json
@@ -36,7 +48,7 @@ PEAK_FLOPS = 197e12
 BASELINE_RAYS_PER_S = 7.7e5  # CPU reference example_02 (BASELINE.md)
 
 
-def build(intensity, num_iter, **general):
+def build(intensity, num_iter, engine, **general):
     from __graft_entry__ import _spectrometer_config
     from xicsrt_tpu.engine import Pipeline
 
@@ -44,24 +56,38 @@ def build(intensity, num_iter, **general):
         intensity=intensity, num_iter=num_iter, keep_images=True, **general
     )
     pipeline = Pipeline(config)
-    run = pipeline.make_run(num_iter, keep_history=False, keep_images=True)
-    return pipeline, run
+    if engine == "fused":
+        from xicsrt_tpu.ops.fused_trace import build_fused_run
+
+        chunk = int(os.environ.get("XICSRT_BENCH_CHUNK", "8192"))
+        fused = build_fused_run(pipeline, num_iter=num_iter, chunk=chunk)
+        run = lambda params, key: fused(key)  # noqa: E731
+        # Padded accumulator dims are what the MXU actually contracts.
+        mpr = sum(
+            _round_up(nx, 8) * _round_up(ny, 128)
+            for (nx, ny), _ in pipeline.image_specs().values()
+        )
+    else:
+        run = pipeline.make_run(num_iter, keep_history=False, keep_images=True)
+        mpr = sum(
+            nx * ny for (nx, ny), _ in pipeline.image_specs().values()
+        )
+    return pipeline, run, mpr
 
 
-def macs_per_ray(pipeline) -> int:
-    """MXU MACs spent binning ONE ray: nx*ny per accumulated image (the
-    factorized one-hot matmul contracts [C, nx]^T @ [C, ny] per chunk)."""
-    return sum(nx * ny for (nx, ny), _ in pipeline.image_specs().values())
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
-    # Swept on TPU v5e: throughput rises with rays-per-dispatch until the
-    # per-dispatch overhead of the tunneled backend is amortized.
-    intensity = 1 << int(os.environ.get("XICSRT_BENCH_LOG2", "25"))
-    num_iter = int(os.environ.get("XICSRT_BENCH_ITER", "16"))
+    engine = os.environ.get("XICSRT_BENCH_ENGINE", "fused")
+    default_log2 = "22" if engine == "xla" else "29"
+    default_iter = "128" if engine == "xla" else "1"
+    intensity = 1 << int(os.environ.get("XICSRT_BENCH_LOG2", default_log2))
+    num_iter = int(os.environ.get("XICSRT_BENCH_ITER", default_iter))
     reps = int(os.environ.get("XICSRT_BENCH_REPS", "3"))
     blocks = int(os.environ.get("XICSRT_BENCH_BLOCKS", "3"))
     general = {}
@@ -70,9 +96,8 @@ def main():
     if os.environ.get("XICSRT_BENCH_BINNING_DTYPE"):
         general["binning_dtype"] = os.environ["XICSRT_BENCH_BINNING_DTYPE"]
 
-    pipeline, run = build(intensity, num_iter, **general)
+    pipeline, run, mpr = build(intensity, num_iter, engine, **general)
     rays_per_dispatch = intensity * num_iter
-    mpr = macs_per_ray(pipeline)
 
     def step(params, key, dep):
         # Fold the previous dispatch's detector count into this dispatch's
@@ -151,6 +176,7 @@ def main():
         "value": float(f"{rays_per_s:.4g}"),
         "unit": "rays/s",
         "vs_baseline": float(f"{rays_per_s / BASELINE_RAYS_PER_S:.4g}"),
+        "engine": engine,
         "mfu": float(f"{mfu:.4g}"),
         "binning_macs_per_ray": mpr,
         "detector_efficiency": float(f"{mean_det / rays_per_dispatch:.4g}"),

@@ -1,0 +1,227 @@
+"""Fused single-kernel engine (ops/fused_trace.py) vs the XLA engine.
+
+The fused kernel runs here under the Pallas TPU interpreter with injected
+threefry uniforms (the hardware PRNG is a zero stub off-chip). The two
+engines draw independent random streams, so all comparisons are
+distributional: binomial tolerances on per-element counts and chi-square on
+coarse-grained images.
+
+Reference behaviors covered: full trace loop ``_TraceObject.py:157-291``,
+crystal acceptance ``_InteractCrystal.py:90-196``, source sampling
+``_XicsrtSourceGeneric.py:198-292``, aperture logic ``xicsrt_aperture.py``.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from xicsrt_tpu.engine import Pipeline, raytrace
+from xicsrt_tpu.ops.fused_trace import FusedUnsupported, build_fused_run
+
+
+def _spectrometer(intensity, **general):
+    g = {
+        "number_of_iter": 1,
+        "random_seed": 0,
+        "keep_history": False,
+        "print_results": False,
+        "save_images": False,
+    }
+    g.update(general)
+    return {
+        "general": g,
+        "sources": {
+            "source": {
+                "class_name": "XicsrtSourceDirected",
+                "intensity": intensity,
+                "wavelength": 3.9492,
+                "angular_dist": "isotropic_xy",
+                "spread": np.radians(10.0),
+            }
+        },
+        "optics": {
+            "aperture": {
+                "class_name": "XicsrtOpticAperture",
+                "origin": [0.0, 0.0, 0.4],
+                "zaxis": [0.0, 0.0, -1.0],
+                "aperture": [
+                    {"shape": "circle", "size": [0.09], "logic": "and"},
+                    {"shape": "circle", "size": [0.03],
+                     "origin": [-0.02, 0.0], "logic": "not"},
+                ],
+            },
+            "crystal": {
+                "class_name": "XicsrtOpticSphericalCrystal",
+                "origin": [0.0, 0.0, 0.80374151],
+                "zaxis": [0.0, 0.59497864, -0.80374151],
+                "xsize": 0.2,
+                "ysize": 0.2,
+                "radius": 1.0,
+                "crystal_spacing": 2.45676,
+                "rocking_type": "gaussian",
+                "rocking_fwhm": 48.070e-6,
+            },
+            "detector": {
+                "class_name": "XicsrtOpticDetector",
+                "origin": [0.0, 0.76871290, 0.56904832],
+                "zaxis": [0.0, -0.95641806, 0.29200084],
+                "xsize": 0.4,
+                "ysize": 0.2,
+            },
+        },
+    }
+
+
+def _run_both(config, n_fused=None):
+    pipe = Pipeline(config)
+    fused = build_fused_run(pipe, chunk=8192, interpret=True)
+    out_f = jax.tree_util.tree_map(
+        np.asarray, fused(jax.random.key(1)))
+    it = pipe.make_iteration(keep_history=False, keep_images=True)
+    out_x = jax.tree_util.tree_map(
+        np.asarray, it(pipe.params, jax.random.key(2)))
+    return out_f, out_x
+
+
+def _assert_binomial_close(k1, k2, n, nsigma=5.0):
+    """Two independent binomial draws of n trials agree within nsigma."""
+    p = (k1 + k2) / (2.0 * n)
+    sigma = np.sqrt(max(2.0 * n * p * (1.0 - p), 1.0))
+    assert abs(k1 - k2) < nsigma * sigma, (k1, k2, sigma)
+
+
+class TestSpectrometerParity:
+    def test_meta_counts(self):
+        n = 1 << 16
+        out_f, out_x = _run_both(_spectrometer(n))
+        assert int(out_f["meta"]["source"]) == n
+        for name in ("aperture", "crystal", "detector"):
+            _assert_binomial_close(
+                int(out_f["meta"][name]), int(out_x["meta"][name]), n)
+        # Counts flow downhill and images integrate to their element counts.
+        assert int(out_f["meta"]["crystal"]) <= int(out_f["meta"]["aperture"])
+        for name in ("crystal", "detector"):
+            assert out_f["image"][name].sum() == int(out_f["meta"][name])
+
+    def test_image_distribution(self):
+        """Coarse-grained detector images agree by chi-square."""
+        n = 1 << 17
+        out_f, out_x = _run_both(_spectrometer(n))
+        f = out_f["image"]["detector"]
+        x = out_x["image"]["detector"]
+        assert f.shape == x.shape
+        # 10x10 superpixels
+        sx, sy = f.shape[0] // 10, f.shape[1] // 10
+        cf = f[: 10 * sx, : 10 * sy].reshape(10, sx, 10, sy).sum((1, 3))
+        cx = x[: 10 * sx, : 10 * sy].reshape(10, sx, 10, sy).sum((1, 3))
+        keep = (cf + cx) > 50
+        assert keep.sum() > 0
+        chi2 = ((cf - cx) ** 2 / (cf + cx + 1e-12))[keep].sum()
+        ndof = int(keep.sum())
+        assert chi2 < ndof + 5.0 * np.sqrt(2.0 * ndof), (chi2, ndof)
+
+    def test_multi_iteration(self):
+        out_f, _ = _run_both(_spectrometer(4096, number_of_iter=3))
+        assert int(out_f["meta"]["source"]) == 3 * 4096
+
+
+class TestOpticVariants:
+    def test_plane_mirror_sphere_chain(self):
+        """Mirror fold (plane) + step-rocking flat crystal."""
+        n = 1 << 15
+        config = {
+            "general": {"number_of_iter": 1, "random_seed": 0,
+                        "keep_history": False, "print_results": False},
+            "sources": {"source": {
+                "class_name": "XicsrtSourceDirected",
+                "intensity": n, "wavelength": 3.9492,
+                "angular_dist": "isotropic", "spread": np.radians(5.0),
+            }},
+            "optics": {
+                "mirror": {
+                    "class_name": "XicsrtOpticPlanarMirror",
+                    "origin": [0.0, 0.0, 0.5],
+                    "zaxis": [0.0, 0.3826834, -0.9238795],
+                    "xsize": 0.5, "ysize": 0.5,
+                },
+                # On the folded beam (direction (0, 1, -1)/sqrt2), normal
+                # (0,-1,0): incidence = 45 deg = the Bragg angle for
+                # spacing = wavelength / (2 sin 45).
+                "crystal": {
+                    "class_name": "XicsrtOpticPlanarCrystal",
+                    "origin": [0.0, 0.21213203, 0.28786797],
+                    "zaxis": [0.0, -1.0, 0.0],
+                    "xsize": 0.5, "ysize": 0.5,
+                    "crystal_spacing": 3.9492 / (2.0 * np.sin(np.pi / 4)),
+                    "rocking_type": "step",
+                    "rocking_fwhm": 5e-3,
+                },
+            },
+        }
+        out_f, out_x = _run_both(config)
+        for name in ("mirror", "crystal"):
+            _assert_binomial_close(
+                int(out_f["meta"][name]), int(out_x["meta"][name]), n)
+        assert int(out_f["meta"]["mirror"]) > 0
+        assert int(out_f["meta"]["crystal"]) > 0
+
+    def test_convex_sphere(self):
+        n = 1 << 14
+        config = {
+            "general": {"number_of_iter": 1, "random_seed": 0,
+                        "keep_history": False, "print_results": False},
+            "sources": {"source": {
+                "class_name": "XicsrtSourceDirected",
+                "intensity": n, "wavelength": 3.9492,
+                "angular_dist": "isotropic", "spread": np.radians(3.0),
+            }},
+            "optics": {"mirror": {
+                "class_name": "XicsrtOpticSphericalMirror",
+                "origin": [0.0, 0.0, 0.5],
+                "zaxis": [0.0, 0.0, -1.0],
+                "xsize": 0.3, "ysize": 0.3,
+                "radius": 2.0, "convex": True,
+            }},
+        }
+        out_f, out_x = _run_both(config)
+        _assert_binomial_close(
+            int(out_f["meta"]["mirror"]), int(out_x["meta"]["mirror"]), n)
+        assert int(out_f["meta"]["mirror"]) > 0
+
+
+class TestEngineRouting:
+    def test_raytrace_auto_uses_fused(self, tmp_path, caplog):
+        config = _spectrometer(4096, engine="fused")
+        results = raytrace(config)
+        assert results["total"]["meta"]["source"]["num_out"] == 4096
+        img = np.asarray(results["total"]["image"]["detector"])
+        assert img.sum() == results["total"]["meta"]["detector"]["num_out"]
+
+    def test_auto_falls_back_outside_subset(self):
+        # Poisson budgets are outside the fused subset -> auto = XLA engine.
+        config = _spectrometer(1024, engine="auto")
+        config["sources"]["source"]["use_poisson"] = True
+        results = raytrace(config)
+        assert results["total"]["meta"]["source"]["num_out"] >= 0
+
+    def test_fused_raises_outside_subset(self):
+        from xicsrt_tpu.engine import build_runner
+
+        config = _spectrometer(1024, engine="fused")
+        config["sources"]["source"]["use_poisson"] = True
+        with pytest.raises(FusedUnsupported):
+            build_runner(config)
+
+    def test_fused_rejects_history(self):
+        config = _spectrometer(1024, engine="fused", keep_history=True)
+        from xicsrt_tpu.engine import build_runner
+
+        with pytest.raises(NotImplementedError):
+            build_runner(config)
+
+    def test_keep_meta_false(self):
+        pipe = Pipeline(_spectrometer(2048, keep_meta=False))
+        fused = build_fused_run(pipe, chunk=2048, interpret=True)
+        out = jax.tree_util.tree_map(np.asarray, fused(jax.random.key(0)))
+        assert out["meta"] == {}
+        assert out["image"]["detector"].shape[0] > 0

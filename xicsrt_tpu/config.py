@@ -63,6 +63,11 @@ def default_config() -> dict:
     g["dtype"] = "float32"
     g["interact_mode"] = "mc"
     g["image_mode"] = "nearest"
+    # Execution engine: 'xla' (general, differentiable), 'fused' (single
+    # Pallas megakernel — generate+trace+bin with zero per-ray HBM traffic;
+    # raises on configs outside its subset, see ops/fused_trace.py), or
+    # 'auto' (fused when supported, else xla).
+    g["engine"] = "xla"
     # Binning backend: 'xla' (chunked one-hot matmul scan) or 'pallas'
     # (VMEM-resident kernel; nearest mode, TPU only). A/B'd on v5e in
     # tools/bench_ab.py; 'xla' measured faster on the full pipeline.

@@ -334,6 +334,33 @@ def build_runner(config: dict, pipeline: Pipeline | None = None):
         return runner, pipeline
     pipeline = pipeline or Pipeline(config)
     num_iter = int(pipeline.general["number_of_iter"])
+    engine_kind = str(g.get("engine", "xla")).lower()
+    if engine_kind in ("fused", "auto") and not bool(g["keep_history"]):
+        from xicsrt_tpu.ops.fused_trace import FusedUnsupported, build_fused_run
+
+        try:
+            # Off-TPU the kernel runs under the Pallas TPU interpreter
+            # (correctness/testing only — the perf path is the real chip).
+            fused = build_fused_run(
+                pipeline, num_iter=num_iter,
+                interpret=jax.default_backend() != "tpu",
+            )
+
+            def runner(params, key):
+                # Geometry is compiled in; params is accepted for signature
+                # compatibility but ignored (rebuild to change geometry).
+                return fused(key)
+
+            return runner, pipeline
+        except FusedUnsupported as err:
+            if engine_kind == "fused":
+                raise
+            log.info("fused engine unavailable (%s); using XLA engine", err)
+    elif engine_kind == "fused":
+        raise NotImplementedError(
+            "engine='fused' does not keep ray history; set "
+            "keep_history=False (or engine='auto' to fall back)."
+        )
     if bool(g["keep_history"]) and num_iter > 1:
         # History mode: compile ONE iteration and loop on the host —
         # unrolling every iteration into a single XLA program multiplies
