@@ -165,6 +165,46 @@ class TestOpticVariants:
         assert int(out_f["meta"]["mirror"]) > 0
         assert int(out_f["meta"]["crystal"]) > 0
 
+    def _steep_bragg_config(self, n, glancing, bragg, wavelength=3.9492):
+        tilt = np.pi / 2 - glancing  # crystal normal tilt off the beam axis
+        return {
+            "general": {"number_of_iter": 1, "random_seed": 0,
+                        "keep_history": False, "print_results": False},
+            "sources": {"source": {
+                "class_name": "XicsrtSourceDirected",
+                "intensity": n, "wavelength": wavelength,
+                "angular_dist": "isotropic", "spread": 1e-5,
+            }},
+            "optics": {"crystal": {
+                "class_name": "XicsrtOpticPlanarCrystal",
+                "origin": [0.0, 0.0, 0.5],
+                "zaxis": [0.0, np.sin(tilt), -np.cos(tilt)],
+                "xsize": 0.5, "ysize": 0.5,
+                "crystal_spacing": wavelength / (2.0 * np.sin(bragg)),
+                "rocking_type": "gaussian", "rocking_fwhm": 5e-3,
+            }},
+        }
+
+    def test_steep_bragg_no_spurious_acceptance(self):
+        """Regression (round-2 advisor): the Taylor Bragg deviation had a
+        spurious zero at adot = sin_b - 2 cos_b^2/sin_b for Bragg angles
+        above ~54.7 deg, accepting rays at a wrong incidence with full
+        reflectivity. The sine-difference form has no such zero."""
+        n = 1 << 12
+        bragg = np.radians(70.0)
+        sin_b, cos_b = np.sin(bragg), np.cos(bragg)
+        spurious = np.arcsin(sin_b - 2.0 * cos_b**2 / sin_b)
+        pipe = Pipeline(self._steep_bragg_config(n, spurious, bragg))
+        fused = build_fused_run(pipe, chunk=2048, interpret=True)
+        out = jax.tree_util.tree_map(np.asarray, fused(jax.random.key(0)))
+        assert int(out["meta"]["crystal"]) == 0
+
+        # Control: at the true Bragg angle the same crystal reflects fully.
+        pipe = Pipeline(self._steep_bragg_config(n, bragg, bragg))
+        fused = build_fused_run(pipe, chunk=2048, interpret=True)
+        out = jax.tree_util.tree_map(np.asarray, fused(jax.random.key(0)))
+        assert int(out["meta"]["crystal"]) == n
+
     def test_convex_sphere(self):
         n = 1 << 14
         config = {

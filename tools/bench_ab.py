@@ -20,10 +20,12 @@ import numpy as np
 
 
 VARIANTS = {
-    "xla_f32": {"binning": "xla"},
-    "xla_bf16": {"binning": "xla", "binning_dtype": "bfloat16"},
-    "pallas": {"binning": "pallas"},
-    "no_images": {"keep_images": False},
+    "xla_f32": {"engine": "xla", "binning": "xla"},
+    "xla_bf16": {"engine": "xla", "binning": "xla",
+                 "binning_dtype": "bfloat16"},
+    "pallas": {"engine": "xla", "binning": "pallas"},
+    "no_images": {"engine": "xla", "keep_images": False},
+    "fused": {"engine": "fused"},
 }
 
 
@@ -33,8 +35,9 @@ def time_variant(name, general, intensity, num_iter, reps=3, blocks=2):
 
     from bench import build
 
+    engine = general.pop("engine", "xla")
     keep_images = general.pop("keep_images", True)
-    pipeline, run = build(intensity, num_iter, **general)
+    pipeline, run, _ = build(intensity, num_iter, engine, **general)
     if not keep_images:
         run = pipeline.make_run(num_iter, keep_history=False,
                                 keep_images=False)

@@ -34,6 +34,22 @@ from xicsrt_tpu.public import get_element  # noqa: F401
 from xicsrt_tpu.utils.version import warn_version  # noqa: F401
 
 # The reference exposes a separate multiprocessing entry point
-# (xicsrt.raytrace_mp). Here a single entry point covers 1..N chips; the alias
-# is kept for drop-in compatibility.
-raytrace_mp = raytrace
+# (``xicsrt.raytrace_mp(config, processes=None)``,
+# ``xicsrt_multiprocessing.py:12``). Here one entry point covers 1..N chips:
+# ``processes`` maps to the device count of the ray-sharded mesh.
+def raytrace_mp(config, processes=None):
+    """Drop-in equivalent of the reference's multiprocess raytrace.
+
+    Runs the ray-sharded engine over ``processes`` devices (default: all).
+    With one device this is identical to :func:`raytrace`.
+    """
+    import copy
+
+    n = processes if processes is not None else len(_jax.devices())
+    n = min(int(n), len(_jax.devices()))
+    if n > 1:
+        config = copy.deepcopy(config)
+        general = config.setdefault("general", {})
+        general["shard_rays"] = True
+        general["devices"] = n
+    return raytrace(config)

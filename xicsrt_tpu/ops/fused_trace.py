@@ -23,10 +23,12 @@ Supported subset (config ``general.engine='fused'``; build raises
 Numerical notes vs the XLA engine (validated statistically in tests):
 
 - ``asin`` has no Mosaic lowering; the Bragg deviation
-  ``asin(dot) - asin(sin_b)`` is evaluated by a second-order Taylor
-  expansion around the Bragg angle (host-side constants). Within the
-  rocking-curve support (|delta| < ~1e-2 rad) the error is O(dd^3) < 1e-9
-  rad; far outside it both forms give p = 0.
+  ``asin(dot) - asin(sin_b)`` is evaluated through the exact sine-difference
+  identity ``sin(ti - tb) = dot*cos_b - sqrt(1-dot^2)*sin_b`` followed by a
+  cubic asin correction. Exact zero crossing at the Bragg angle for EVERY
+  Bragg angle (the round-2 Taylor form had a spurious zero for
+  sin_b > sqrt(2/3)); within the rocking support (|delta| < ~1e-2 rad) the
+  residual error is O(delta^5) < 1e-11 rad.
 - uniforms come from the TPU hardware PRNG (24-bit mantissa), not threefry:
   the fused engine draws a DIFFERENT random stream than the XLA engine for
   the same key.
@@ -199,9 +201,7 @@ def _optic_spec(optic, wavelength):
                 "fwhm": _f(p["rocking_fwhm"]),
                 "reflectivity": _f(p["reflectivity"]),
                 "sin_b": sin_b,
-                # Taylor of asin(dot)-asin(sin_b) around the Bragg angle.
-                "a1": 1.0 / cos_b,
-                "a2": sin_b / (2.0 * cos_b**3),
+                "cos_b": cos_b,
             }
     elif isinstance(optic, InteractMirror):
         spec["interact"] = "mirror"
@@ -245,6 +245,12 @@ def build_fused_run(pipeline, num_iter: int | None = None,
     if num_iter is None:
         num_iter = int(g["number_of_iter"])
     n_total = pipeline.num_rays * num_iter
+    if n_total >= 2**31:
+        # ray_index and the meta counters are int32; beyond 2^31 they would
+        # silently wrap (corrupting the alive mask), so fail loudly.
+        raise FusedUnsupported(
+            f"num_rays*num_iter = {n_total:.3e} overflows int32 ray indexing"
+        )
     n_chunks = -(-n_total // chunk)
     sub = chunk // 8
     if chunk % (8 * 128) != 0:
@@ -452,8 +458,12 @@ def build_fused_run(pipeline, num_iter: int | None = None,
                 rk = o["rocking"]
                 dot = dx * nxv + dy * nyv + dz * nzv
                 adot = jnp.abs(dot)
-                dd = adot - rk["sin_b"]
-                delta = dd * rk["a1"] + dd * dd * rk["a2"]
+                # Exact sine of (incident - bragg); asin via cubic term
+                # (|delta| < pi/2 always, so sin is monotone: no spurious
+                # zeros at any Bragg angle).
+                cosi = jnp.sqrt(jnp.maximum(1.0 - adot * adot, 0.0))
+                sd = adot * rk["cos_b"] - cosi * rk["sin_b"]
+                delta = sd + sd * sd * sd * (1.0 / 6.0)
                 if rk["type"] == "gaussian":
                     sigma = rk["fwhm"] / (2.0 * math.sqrt(2.0 * math.log(2.0)))
                     prob = rk["reflectivity"] * jnp.exp(
@@ -486,8 +496,12 @@ def build_fused_run(pipeline, num_iter: int | None = None,
                 im = o["image"]
                 fx = lxv * (1.0 / im["ps"]) + (im["nx"] - 1) / 2.0
                 fy = lyv * (1.0 / im["ps"]) + (im["ny"] - 1) / 2.0
-                ix = jnp.floor(fx + 0.5).astype(jnp.int32)
-                iy = jnp.floor(fy + 0.5).astype(jnp.int32)
+                # round-half-to-even, same as the XLA/pallas binning paths
+                # (binning.py:36, pallas_binning.py:81) and the reference's
+                # np.round (_TraceObject.py:274) — midpoint hits bin
+                # identically across engines.
+                ix = jnp.round(fx).astype(jnp.int32)
+                iy = jnp.round(fy).astype(jnp.int32)
                 ok = (alive & (ix >= 0) & (ix < im["nx"])
                       & (iy >= 0) & (iy < im["ny"]))
                 ix = jnp.where(ok, ix, -1)

@@ -85,28 +85,51 @@ def ray_mesh(n_devices: int | None = None, devices=None) -> Mesh:
 
 
 def _shard_intensity(config: dict, n_devices: int) -> dict:
-    """Divide source intensity across devices, preserving the total.
+    """Divide the photon load across devices, preserving totals.
 
-    Non-Poisson sources need integer per-device counts; the remainder is
-    dropped (documented: totals round down to a multiple of n_devices).
-    Poisson sources keep exact expected totals (fractional rates allowed).
+    Sets ``intensity_scale = 1/n_devices`` on every source; each source
+    class applies it to its own rate (generic: Poisson rate or ray count;
+    plasma: per-bundle expected photon count lambda — see
+    ``sources/plasma.py``). Poisson rates split into independent Poissons,
+    so the psum-reduced totals have exactly the single-device photon
+    statistics — the equivalent of the reference dividing runs across
+    processes (``xicsrt_multiprocessing.py:48-56``).
+
+    Non-Poisson counted sources additionally pre-divide ``intensity`` to an
+    integer per-device count (remainder dropped with a warning), so exact
+    generated totals stay a multiple of the mesh size.
     """
     import copy
 
     config = copy.deepcopy(config)
     for name, source_config in config.get("sources", {}).items():
-        intensity = float(source_config.get("intensity", 0.0))
-        if source_config.get("use_poisson", False):
-            source_config["intensity"] = intensity / n_devices
-        else:
-            per_device = max(int(intensity // n_devices), 1)
-            if per_device * n_devices != int(intensity):
+        prior = float(source_config.get("intensity_scale", 1.0))
+        intensity = source_config.get("intensity")
+        use_poisson = source_config.get("use_poisson")
+        if use_poisson is None:
+            # Plasma sources default use_poisson=True and derive counts from
+            # physics, not `intensity`; only explicit non-Poisson counted
+            # sources need the integer pre-division below.
+            use_poisson = "Plasma" in str(source_config.get("class_name", ""))
+        if not use_poisson and intensity is not None:
+            intensity = float(intensity)
+            per_device = int(intensity * prior) // n_devices
+            if per_device < 1:
+                raise ValueError(
+                    f'Source "{name}": non-Poisson intensity {intensity:g} '
+                    f"is below the {n_devices}-device mesh size; raise the "
+                    f"intensity or set use_poisson=True."
+                )
+            if per_device * n_devices != int(intensity * prior):
                 log.warning(
                     'Source "%s": intensity %g is not a multiple of the '
                     "%d-device mesh; sharded total is %d rays.",
                     name, intensity, n_devices, per_device * n_devices,
                 )
             source_config["intensity"] = per_device
+            source_config["intensity_scale"] = 1.0
+        else:
+            source_config["intensity_scale"] = prior / n_devices
     return config
 
 

@@ -66,19 +66,36 @@ class SourceGeneric(GeometryElement):
         config["velocity"] = np.array([0.0, 0.0, 0.0])
         config["wavelength_range"] = np.array([0.0, 0.0])
         config["filters"] = []
+        # Internal: per-device work fraction set by the sharded engine
+        # (parallel/mesh.py). Scales the Poisson rate (or ray count) so an
+        # n-device psum reproduces single-device photon statistics exactly
+        # (independent-Poisson split; cf. the reference's one-full-run-per-
+        # process division, xicsrt_multiprocessing.py:48-56).
+        config["intensity_scale"] = 1.0
         return config
 
     def initialize(self):
         super().initialize()
-        intensity = float(self.param["intensity"])
+        scale = float(self.param["intensity_scale"])
+        intensity = float(self.param["intensity"]) * scale
         if self.param["use_poisson"]:
             self.num_rays = poisson_budget(intensity)
         else:
-            if intensity < 1:
-                raise ValueError(
-                    "intensity of less than one encountered. Turn on poisson statistics."
+            n = int(round(intensity))
+            if abs(intensity - n) > 1e-9:
+                import logging
+
+                logging.getLogger("xicsrt_tpu").warning(
+                    'Source "%s": intensity*intensity_scale = %g is not an '
+                    "integer; using %d rays.", self.name, intensity, n,
                 )
-            self.num_rays = int(intensity)
+            if n < 1:
+                raise ValueError(
+                    "intensity of less than one encountered (after "
+                    "intensity_scale). Turn on poisson statistics."
+                )
+            self.num_rays = n
+        self._scaled_intensity = intensity
         self._setup_wavelength()
 
     # ------------------------------------------------------------------
@@ -221,7 +238,7 @@ class SourceGeneric(GeometryElement):
     def make_mask(self):
         n = self.num_rays
         use_poisson = bool(self.param["use_poisson"])
-        intensity = float(self.param["intensity"])
+        intensity = self._scaled_intensity
 
         def make(params, key):
             if not use_poisson:

@@ -178,6 +178,9 @@ class PlasmaGeneric(SourceGeneric):
             / (4.0 * np.pi)
         )
         lam *= self.param["volume"] / (self.bundle_count * float(self.param["bundle_volume"]))
+        # Sharded runs divide the photon load per device (independent-
+        # Poisson split); the static budget shrinks with it.
+        lam *= float(self.param["intensity_scale"])
         lam = np.where(mask, lam, 0.0)
         predicted = float(lam.mean() * self.bundle_count)
         # Headroom: CLT spread across keys plus Poisson margin plus 15%.
@@ -226,6 +229,7 @@ class PlasmaGeneric(SourceGeneric):
         bundle_volume = float(self.param["bundle_volume"])
         time_res = float(self.param["time_resolution"])
         volume = float(self.param["volume"])
+        intensity_scale = float(self.param["intensity_scale"])
         wavelength0 = float(self.param["wavelength"])
         gamma = self.gamma
         mass_number = float(self.param["mass_number"])
@@ -259,7 +263,7 @@ class PlasmaGeneric(SourceGeneric):
             # Expected photons per bundle (real units; :301-319).
             lam = (
                 prof["emissivity"] * time_res * bundle_volume * omega / (4.0 * jnp.pi)
-            ) * (volume / (B * bundle_volume))
+            ) * (volume / (B * bundle_volume)) * intensity_scale
             lam = jnp.where(b_mask, lam, 0.0)
 
             if use_poisson:
