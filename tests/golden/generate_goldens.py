@@ -176,6 +176,70 @@ def generate_gradient_golden():
           f"+- {out['fd_efficiency_std']:.4f})")
 
 
+def generate_gradient_params_golden():
+    """Finite-difference the CPU reference w.r.t. crystal_spacing and
+    rocking_fwhm (round-2 verdict #5: gradient parity beyond pose).
+
+    Same operating point as the y-shift golden (flank of the widened
+    acceptance curve). Deltas are chosen so the induced Bragg-angle/width
+    change is ~10% of the rocking width — inside the locally-linear regime:
+    d(theta_B)/d(spacing) = -tan(theta_B)/spacing with theta_B = 53.5 deg
+    here, so delta_spacing = 2e-4 A shifts theta_B by ~1.1e-4 rad.
+    Per-seed runs reuse the SAME seed for +/- evaluations (common random
+    numbers), which cancels most MC noise out of the difference.
+    """
+    import copy
+
+    import xicsrt
+
+    intensity = 1e6
+    num_iter = 10  # 1e7 rays per evaluation
+
+    def run(seed, **crystal_overrides):
+        config = copy.deepcopy(BASE)
+        g = config["general"]
+        g["number_of_iter"] = num_iter
+        g["number_of_runs"] = 1
+        g["random_seed"] = seed
+        g["keep_history"] = False
+        config["sources"]["source"]["intensity"] = intensity
+        crystal = config["optics"]["crystal"]
+        crystal["rocking_fwhm"] = GRAD_FWHM
+        origin = list(crystal["origin"])
+        origin[1] += GRAD_Y0
+        crystal["origin"] = origin
+        crystal.update(crystal_overrides)
+        result = xicsrt.raytrace(config)
+        image = np.asarray(result["total"]["image"]["detector"], dtype=float)
+        n_gen = float(result["total"]["meta"]["source"]["num_out"])
+        return float(image.sum()) / n_gen
+
+    spacing0 = BASE["optics"]["crystal"]["crystal_spacing"]
+    params = {
+        "crystal_spacing": (spacing0, 2e-4),
+        "rocking_fwhm": (GRAD_FWHM, 5e-5),
+    }
+    out = {"y0": GRAD_Y0, "rocking_fwhm0": GRAD_FWHM,
+           "crystal_spacing0": spacing0, "n_rays": intensity * num_iter}
+    for pname, (p0, delta) in params.items():
+        fds = []
+        for seed in (404, 505, 606):
+            eff_p = run(seed, **{pname: p0 + delta})
+            eff_m = run(seed, **{pname: p0 - delta})
+            fds.append((eff_p - eff_m) / (2 * delta))
+            print(f"{pname} seed {seed}: d(eff)/d{pname} = {fds[-1]:.6g} "
+                  f"(eff {eff_m:.5f}/{eff_p:.5f})")
+        out[f"fd_{pname}_delta"] = delta
+        out[f"fd_{pname}_mean"] = np.mean(fds)
+        out[f"fd_{pname}_std"] = np.std(fds, ddof=1)
+    path = os.path.join(HERE, "gradient_params_reference.npz")
+    np.savez_compressed(path, **out)
+    print(f"gradient-params golden -> {path}")
+    for pname in params:
+        print(f"  d(eff)/d({pname}) = {out[f'fd_{pname}_mean']:.6g} "
+              f"+- {out[f'fd_{pname}_std']:.3g}")
+
+
 def run_reference(name, config):
     import xicsrt
 
@@ -199,7 +263,7 @@ def run_reference(name, config):
 def main():
     requested = sys.argv[1:] or [
         n
-        for n in list(SCENARIOS) + ["gradient"]
+        for n in list(SCENARIOS) + ["gradient", "gradient_params"]
         if not os.path.exists(
             os.path.join(
                 HERE,
@@ -211,6 +275,8 @@ def main():
     for name in requested:
         if name == "gradient":
             generate_gradient_golden()
+        elif name == "gradient_params":
+            generate_gradient_params_golden()
         else:
             run_reference(name, SCENARIOS[name])
 

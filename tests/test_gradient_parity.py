@@ -25,6 +25,8 @@ from xicsrt_tpu.gradients import make_differentiable
 
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden",
                       "gradient_reference.npz")
+GOLDEN_PARAMS = os.path.join(os.path.dirname(__file__), "golden",
+                             "gradient_params_reference.npz")
 
 
 def _config(y0, rocking_fwhm, intensity):
@@ -127,4 +129,48 @@ def test_gradient_parity_vs_reference():
         g_jax_sigma**2 + fd_jax_sigma**2
     ), (
         f"jax.grad = {g_jax:.4f} vs jax FD = {fd_jax:.4f}"
+    )
+
+
+@pytest.mark.skipif(not os.path.exists(GOLDEN_PARAMS),
+                    reason="golden data missing")
+@pytest.mark.parametrize("pname", ["crystal_spacing", "rocking_fwhm"])
+def test_gradient_parity_physics_params(pname):
+    """d(efficiency)/d(crystal_spacing) and /d(rocking_fwhm) from jax.grad
+    match the CPU reference's central differences (round-2 verdict #5:
+    gradient parity beyond pose; cf. ``_InteractCrystal.py:96-196``)."""
+    golden = np.load(GOLDEN_PARAMS)
+    y0 = float(golden["y0"])
+    fwhm = float(golden["rocking_fwhm0"])
+    fd_ref = float(golden[f"fd_{pname}_mean"])
+    fd_ref_std = float(golden[f"fd_{pname}_std"])
+
+    intensity = 1 << 18
+    image_fn, pipeline = make_differentiable(_config(y0, fwhm, intensity))
+    params = pipeline.params
+    p0 = params["optics"]["crystal"][pname]
+
+    def efficiency(value, key):
+        p = dict(params)
+        p["optics"] = dict(params["optics"])
+        p["optics"]["crystal"] = dict(params["optics"]["crystal"])
+        p["optics"]["crystal"][pname] = value
+        img = image_fn(p, key)["detector"]
+        return jnp.sum(img) / intensity
+
+    grad_fn = jax.jit(jax.grad(efficiency))
+    grads = np.asarray(
+        [float(grad_fn(p0, jax.random.key(k))) for k in range(6)]
+    )
+    g_jax = grads.mean()
+    g_sigma = grads.std(ddof=1) / np.sqrt(len(grads))
+
+    assert abs(g_jax) > 10 * g_sigma, (g_jax, g_sigma)
+    assert abs(fd_ref) > 3 * fd_ref_std, (fd_ref, fd_ref_std)
+    # The reference FD carries an O(delta^2) truncation bias on the curved
+    # flank (~few %): allow 5% of magnitude plus combined MC noise.
+    combined = np.sqrt(g_sigma**2 + fd_ref_std**2)
+    assert abs(g_jax - fd_ref) < 0.05 * abs(fd_ref) + 5 * combined, (
+        f"jax.grad d(eff)/d({pname}) = {g_jax:.6g} +- {g_sigma:.3g}, "
+        f"reference FD = {fd_ref:.6g} +- {fd_ref_std:.3g}"
     )

@@ -314,6 +314,27 @@ def _sort_history(history_dev: dict, names: list, max_lost: int,
     return found, lost
 
 
+def _params_match(params, reference) -> bool:
+    """True when two params pytrees hold identical values.
+
+    Tracers (a jitted caller) compare as True: equality cannot be checked
+    under trace, and the fused kernel's geometry is baked in regardless.
+    """
+    try:
+        leaves_a, tree_a = jax.tree_util.tree_flatten(params)
+        leaves_b, tree_b = jax.tree_util.tree_flatten(reference)
+    except Exception:
+        return False
+    if tree_a != tree_b:
+        return False
+    for a, b in zip(leaves_a, leaves_b):
+        if isinstance(a, jax.core.Tracer) or isinstance(b, jax.core.Tracer):
+            continue
+        if not np.array_equal(np.asarray(a), np.asarray(b)):
+            return False
+    return True
+
+
 def build_runner(config: dict, pipeline: Pipeline | None = None):
     """Compile the per-run executor: plain jit, or ray-sharded over devices
     when ``general.shard_rays`` is set and more than one device is present.
@@ -345,10 +366,21 @@ def build_runner(config: dict, pipeline: Pipeline | None = None):
                 pipeline, num_iter=num_iter,
                 interpret=jax.default_backend() != "tpu",
             )
+            build_params = pipeline.params
 
             def runner(params, key):
-                # Geometry is compiled in; params is accepted for signature
-                # compatibility but ignored (rebuild to change geometry).
+                # Geometry is compiled into the kernel at build time. A
+                # caller mutating params would silently trace stale
+                # geometry, so verify (identity fast path; deep compare
+                # otherwise) and fail loudly on a mismatch.
+                if params is not build_params and not _params_match(
+                        params, build_params):
+                    raise ValueError(
+                        "engine='fused' bakes geometry in at build time; "
+                        "the params passed differ from the build-time "
+                        "values. Rebuild the runner after changing params, "
+                        "or use the XLA engine for parameter sweeps."
+                    )
                 return fused(key)
 
             return runner, pipeline

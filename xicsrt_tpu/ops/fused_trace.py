@@ -12,13 +12,21 @@ state lives only in VMEM/registers and never touches HBM.
 Supported subset (config ``general.engine='fused'``; build raises
 ``FusedUnsupported`` outside it — ``'auto'`` falls back to the XLA engine):
 
-- point Directed/Generic source, monochrome wavelength, non-Poisson,
-  ``isotropic`` or symmetric ``isotropic_xy`` angular distributions;
+- Generic/Directed/Focused sources: point or extended (uniform/gaussian
+  box), Poisson or counted budgets, isotropic / symmetric-y isotropic_xy /
+  flat / flat_xy / gaussian angular distributions, monochrome / uniform /
+  voigt wavelengths (exact Gauss+Cauchy decomposition), bulk-velocity
+  Doppler;
 - optic chain of: plane + none (apertures/detectors, circle/square/
-  rectangle/ellipse aperture logic), plane/sphere + mirror, plane/sphere +
-  crystal with gaussian/step rocking in ``mc`` mode;
+  rectangle/ellipse aperture logic), plane/sphere/cylinder/torus + mirror
+  or + crystal with gaussian/step rocking in ``mc`` mode (torus quartic
+  solved in-kernel with a Mosaic-safe arccos);
 - nearest-mode images, float32, no history (throughput/serving path — the
   differentiable path stays on the XLA engine).
+
+Still outside the subset: plasma/bundle sources and mesh shapes (use the
+XLA engine), mosaic crystals, file rocking curves, asymmetric-y
+isotropic_xy, weight mode, bilinear images, ray history.
 
 Numerical notes vs the XLA engine (validated statistically in tests):
 
@@ -72,26 +80,46 @@ def _v3(x) -> tuple:
 # ---------------------------------------------------------------------------
 
 def _source_spec(source):
-    from xicsrt_tpu.sources.generic import SourceDirected, SourceFocused
+    """Build-time extraction of the full source sampling program.
 
-    if isinstance(source, SourceFocused):
-        raise FusedUnsupported("focused sources need per-ray emission axes")
+    Covers the reference source matrix (``_XicsrtSourceGeneric.py:26-186``):
+    point/uniform/gaussian spatial, isotropic / isotropic_xy (symmetric-y) /
+    flat / flat_xy / gaussian angular, monochrome / uniform / voigt
+    wavelengths (voigt as the exact Gauss+Cauchy decomposition), bulk
+    velocity Doppler, Poisson ray budgets, and Directed/Focused emission
+    axes. Each stage counts its uniform draws so the ``input`` RNG mode
+    stays exactly reproducible.
+    """
+    from xicsrt_tpu.sources.generic import SourceDirected, SourceFocused
+    from xicsrt_tpu.sources.plasma import PlasmaGeneric
+
+    if isinstance(source, PlasmaGeneric):
+        raise FusedUnsupported(
+            "plasma sources (bundle sampling; use the fused trace-only path)"
+        )
     p = source.param
-    if p.get("use_poisson"):
-        raise FusedUnsupported("poisson ray budgets")
-    for k in ("xsize", "ysize", "zsize"):
-        if _f(p.get(k) or 0.0) != 0.0:
-            raise FusedUnsupported("extended sources (nonzero size)")
-    wtype = str(p["wavelength_dist"]).lower()
-    if not (wtype == "monochrome"
-            or (wtype == "voigt" and source.voigt_table is None)):
-        raise FusedUnsupported(f"wavelength_dist {wtype}")
-    if np.any(np.asarray(p["velocity"]) != 0.0):
-        raise FusedUnsupported("bulk velocity Doppler shift")
     filters = p.get("filters")
     if filters is not None and len(filters) > 0:
         raise FusedUnsupported("source filters")
 
+    spec = {"n_draws": 0}
+
+    # --- spatial ---------------------------------------------------------
+    sizes = tuple(_f(p.get(k) or 0.0) for k in ("xsize", "ysize", "zsize"))
+    spatial = str(p.get("spatial_dist", "uniform")).lower()
+    if all(s == 0.0 for s in sizes):
+        spatial = "point"
+    elif spatial == "gaussian":
+        sizes = tuple(s / (2.0 * math.sqrt(2.0 * math.log(2.0)))
+                      for s in sizes)  # fwhm -> sigma
+    elif spatial != "uniform":
+        raise FusedUnsupported(f"spatial_dist {spatial}")
+    spec["spatial"] = spatial
+    spec["sizes"] = sizes
+    if spatial != "point":
+        spec["n_draws"] += sum(1 for s in sizes if s != 0.0)
+
+    # --- angular ---------------------------------------------------------
     angular = str(p["angular_dist"]).lower()
     from xicsrt_tpu.ops.spread import parse_spread_single, parse_spread_xy
 
@@ -100,43 +128,97 @@ def _source_spec(source):
         dist = ("isotropic", math.cos(theta))
     elif angular == "isotropic_xy":
         tx0, tx1, ty0, ty1 = parse_spread_xy(p["spread"])
-        if not (tx0 == -tx1 and ty0 == -ty1 and tx1 == ty1 and tx1 > 0):
-            raise FusedUnsupported("asymmetric isotropic_xy spread")
-        s = tx1
-        sinb = math.sin(s)
-        dist = ("isotropic_xy", sinb, 2.0 * math.asin(sinb * sinb),
-                math.tan(s))
+        if not (ty0 == -ty1 and ty1 > 0):
+            # The marginal inversion is closed-form only for symmetric
+            # y-bounds (ops/spread.py:107-115); asymmetric-y needs an
+            # in-kernel Newton loop over arcsin, which Mosaic lacks.
+            raise FusedUnsupported("asymmetric-y isotropic_xy spread")
+        sb1 = math.sin(ty1)
+        g0 = 2.0 * math.asin(math.sin(tx0) * sb1)
+        g1 = 2.0 * math.asin(math.sin(tx1) * sb1)
+        dist = ("isotropic_xy", g0, g1, sb1, math.tan(ty0), math.tan(ty1))
+    elif angular == "flat":
+        dist = ("flat", math.tan(parse_spread_single(p["spread"])))
+    elif angular == "flat_xy":
+        t = parse_spread_xy(p["spread"])
+        dist = ("flat_xy", math.tan(t[0]), math.tan(t[1]),
+                math.tan(t[2]), math.tan(t[3]))
+    elif angular in ("gaussian", "flat_gaussian"):
+        hwhm = parse_spread_single(p["spread"])
+        dist = ("flat_gaussian",
+                math.sin(hwhm / math.sqrt(2.0 * math.log(2.0))))
     else:
         raise FusedUnsupported(f"angular_dist {angular}")
+    spec["dist"] = dist
+    spec["n_draws"] += 2
 
+    # --- wavelength ------------------------------------------------------
+    w0 = _f(p["wavelength"])
+    wtype = str(p["wavelength_dist"]).lower()
+    if wtype == "monochrome" or (wtype == "voigt"
+                                 and source.voigt_table is None):
+        wave = ("mono", w0)
+    elif wtype == "uniform":
+        rng_lo, rng_hi = np.asarray(p["wavelength_range"],
+                                    dtype=np.float64)[:2]
+        wave = ("uniform", float(rng_lo), float(rng_hi))
+        spec["n_draws"] += 1
+    elif wtype == "voigt":
+        # Exact Voigt = Gauss(sigma) + Cauchy(gamma) decomposition (as the
+        # plasma sources use, sources/plasma.py:302-317) instead of the
+        # tabulated CDF: same distribution, exact tails.
+        from xicsrt_tpu.ops import voigt as voigt_ops
+
+        gamma = voigt_ops.natural_gamma(_f(p["linewidth"]), w0)
+        sigma = voigt_ops.doppler_sigma(
+            _f(p["temperature"]), _f(p["mass_number"]), w0)
+        wave = ("voigt", w0, float(sigma), float(gamma))
+        spec["n_draws"] += (1 if sigma > 0 else 0) + (1 if gamma > 0 else 0)
+    else:
+        raise FusedUnsupported(f"wavelength_dist {wtype}")
+    spec["wave"] = wave
+    spec["wavelength"] = w0
+
+    velocity = np.asarray(p["velocity"], dtype=np.float64).reshape(3)
+    spec["velocity"] = _v3(velocity) if np.any(velocity != 0.0) else None
+
+    # --- poisson budget --------------------------------------------------
+    spec["poisson"] = bool(p.get("use_poisson"))
+    spec["rate"] = float(getattr(source, "_scaled_intensity",
+                                 _f(p.get("intensity", 0.0))))
+
+    # --- frame / emission axis ------------------------------------------
     frame = source.frame
     basis = np.asarray(frame.basis, dtype=np.float64)
-    if isinstance(source, SourceDirected):
-        d = np.asarray(p["direction"], dtype=np.float64)
-        d = d / np.linalg.norm(d)
+    spec["origin"] = _v3(frame.origin)
+    spec["basis"] = tuple(_v3(r) for r in basis)
+    if isinstance(source, SourceFocused):
+        spec["target"] = _v3(np.asarray(p["target"], dtype=np.float64))
+        spec["rot"] = None  # per-ray basis from per-ray emission axis
     else:
-        d = basis[2]
-    # Per-ray rotation basis, replicating vec.orthogonal_basis on the host
-    # (constant here because the emission axis is constant).
-    o1 = np.cross(d, basis[0]) + np.cross(d, basis[2])
-    o1 = o1 / max(np.linalg.norm(o1), 1e-300)
-    o2 = np.cross(d, o1)
-    o2 = o2 / max(np.linalg.norm(o2), 1e-300)
-    rot = np.stack([o2, o1, d])  # rows: local x, y, z -> global
+        if isinstance(source, SourceDirected):
+            d = np.asarray(p["direction"], dtype=np.float64)
+            d = d / np.linalg.norm(d)
+        else:
+            d = basis[2]
+        # Constant rotation basis, replicating vec.orthogonal_basis on the
+        # host (constant because the emission axis is constant).
+        o1 = np.cross(d, basis[0]) + np.cross(d, basis[2])
+        o1 = o1 / max(np.linalg.norm(o1), 1e-300)
+        o2 = np.cross(d, o1)
+        o2 = o2 / max(np.linalg.norm(o2), 1e-300)
+        spec["rot"] = tuple(_v3(r) for r in np.stack([o2, o1, d]))
+        spec["target"] = None
+    return spec
 
-    return {
-        "origin": _v3(frame.origin),
-        "rot": tuple(_v3(r) for r in rot),
-        "dist": dist,
-        "wavelength": _f(p["wavelength"]),
-    }
 
-
-def _optic_spec(optic, wavelength):
+def _optic_spec(optic, wavelength, per_ray_wl):
     from xicsrt_tpu.optics.interactions import (
         InteractCrystal, InteractMirror, InteractMosaicCrystal, InteractNone,
     )
-    from xicsrt_tpu.optics.shapes import ShapePlane, ShapeSphere
+    from xicsrt_tpu.optics.shapes import (
+        ShapeCylinder, ShapePlane, ShapeSphere, ShapeTorus,
+    )
 
     p = optic.param
     frame = optic.frame
@@ -179,6 +261,16 @@ def _optic_spec(optic, wavelength):
         spec["shape"] = "sphere"
         spec["radius"] = _f(p["radius"])
         spec["convex"] = bool(p.get("convex", False))
+    elif isinstance(optic, ShapeCylinder):
+        spec["shape"] = "cylinder"
+        spec["radius"] = _f(p["radius"])
+        spec["convex"] = bool(p.get("convex", False))
+    elif isinstance(optic, ShapeTorus):
+        spec["shape"] = "torus"
+        spec["radius_major"] = _f(p["radius_major"])
+        spec["radius_minor"] = _f(p["radius_minor"])
+        spec["major_adjust"] = _f(p["major_adjust"])
+        spec["center_sign"] = _f(p["center_sign"])
     else:
         raise FusedUnsupported(f"shape of {type(optic).__name__}")
 
@@ -191,18 +283,21 @@ def _optic_spec(optic, wavelength):
             rtype = str(p["rocking_type"]).lower()
             if rtype not in ("gaussian", "step"):
                 raise FusedUnsupported(f"rocking_type {rtype}")
-            sin_b = wavelength / (2.0 * _f(p["crystal_spacing"]))
-            if not (0.0 < sin_b < 1.0):
-                raise FusedUnsupported("wavelength outside Bragg range")
-            cos_b = math.sqrt(1.0 - sin_b * sin_b)
+            spacing = _f(p["crystal_spacing"])
             spec["interact"] = "crystal"
+            spec["n_draws"] = 1
             spec["rocking"] = {
                 "type": rtype,
                 "fwhm": _f(p["rocking_fwhm"]),
                 "reflectivity": _f(p["reflectivity"]),
-                "sin_b": sin_b,
-                "cos_b": cos_b,
+                "inv_2d": 1.0 / (2.0 * spacing),
             }
+            if not per_ray_wl:
+                sin_b = wavelength / (2.0 * spacing)
+                if not (0.0 < sin_b < 1.0):
+                    raise FusedUnsupported("wavelength outside Bragg range")
+                spec["rocking"]["sin_b"] = sin_b
+                spec["rocking"]["cos_b"] = math.sqrt(1.0 - sin_b * sin_b)
     elif isinstance(optic, InteractMirror):
         spec["interact"] = "mirror"
     elif isinstance(optic, InteractNone):
@@ -241,7 +336,10 @@ def build_fused_run(pipeline, num_iter: int | None = None,
         raise FusedUnsupported("dtype != float32")
 
     src = _source_spec(pipeline.source)
-    optics = [_optic_spec(o, src["wavelength"]) for o in pipeline.optics]
+    # Per-ray wavelengths are materialized only when something varies them.
+    per_ray_wl = src["wave"][0] != "mono" or src["velocity"] is not None
+    optics = [_optic_spec(o, src["wavelength"], per_ray_wl)
+              for o in pipeline.optics]
     if num_iter is None:
         num_iter = int(g["number_of_iter"])
     n_total = pipeline.num_rays * num_iter
@@ -270,9 +368,15 @@ def build_fused_run(pipeline, num_iter: int | None = None,
         rng = "input" if interpret else "hw"
     if rng not in ("hw", "input"):
         raise ValueError(f"rng must be 'hw' or 'input', got {rng!r}")
-    # Static per-ray draw count: 2 for the source sampler + 1 per MC
-    # crystal acceptance test.
-    n_draws = 2 + sum(1 for o in optics if o["interact"] == "crystal")
+    # Static per-ray draw count, tallied per stage during spec building.
+    n_draws = src["n_draws"] + sum(o.get("n_draws", 0) for o in optics)
+
+    # Poisson budgets: the realized ray count is drawn OUTSIDE the kernel
+    # (threefry, same key stream discipline as the XLA engine) and enters
+    # through SMEM; the kernel masks rays beyond it. Sum of per-iteration
+    # Poisson(rate) draws == one Poisson(rate*num_iter) draw in
+    # distribution, so a single scalar suffices for the whole run.
+    poisson_rate = src["rate"] * num_iter if src["poisson"] else None
 
     f32 = jnp.float32
 
@@ -308,10 +412,21 @@ def build_fused_run(pipeline, num_iter: int | None = None,
             )
             return (bits & 0x00FFFFFF).astype(f32) * (1.0 / (1 << 24))
 
+        def normal_draw():
+            # Standard normal via the inverse error function (Mosaic has an
+            # erf_inv lowering). Clip keeps erf_inv finite at u in {0, 1};
+            # the resulting ~5.3-sigma tail truncation matches the finite
+            # range of threefry-based normal sampling.
+            u = jnp.clip(draw(), 1e-7, 1.0 - 1e-7)
+            return math.sqrt(2.0) * jax.lax.erf_inv(2.0 * u - 1.0)
+
         rows = jax.lax.broadcasted_iota(jnp.int32, (8, sub), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (8, sub), 1)
         ray_index = step * chunk + rows * sub + cols
-        alive = ray_index < n_total
+        if poisson_rate is not None:
+            alive = ray_index < seed_ref[2]
+        else:
+            alive = ray_index < n_total
 
         def count_into(elem, alive):
             c = jnp.sum(alive.astype(jnp.int32))
@@ -320,7 +435,32 @@ def build_fused_run(pipeline, num_iter: int | None = None,
             sel = ((crow == 0) & (ccol == elem)).astype(jnp.int32)
             counts_ref[:] += c * sel
 
-        # ---- source ---------------------------------------------------
+        # ---- source: position ------------------------------------------
+        ox, oy, oz = src["origin"]
+        B = src["basis"]
+        if src["spatial"] == "point":
+            px = jnp.full((8, sub), ox, f32)
+            py = jnp.full((8, sub), oy, f32)
+            pz = jnp.full((8, sub), oz, f32)
+        else:
+            offs = []
+            for s in src["sizes"]:
+                if s == 0.0:
+                    offs.append(None)
+                elif src["spatial"] == "uniform":
+                    offs.append((draw() - 0.5) * s)
+                else:  # gaussian (s is already sigma)
+                    offs.append(normal_draw() * s)
+            px = jnp.full((8, sub), ox, f32)
+            py = jnp.full((8, sub), oy, f32)
+            pz = jnp.full((8, sub), oz, f32)
+            for o_l, brow in zip(offs, B):
+                if o_l is not None:
+                    px += o_l * brow[0]
+                    py += o_l * brow[1]
+                    pz += o_l * brow[2]
+
+        # ---- source: direction (local z-aligned frame) ------------------
         dist = src["dist"]
         if dist[0] == "isotropic":
             cos_t = dist[1]
@@ -330,29 +470,96 @@ def build_fused_run(pipeline, num_iter: int | None = None,
             phi = v * (2.0 * math.pi)
             lx = rho * jnp.cos(phi)
             ly = rho * jnp.sin(phi)
-        else:  # symmetric isotropic_xy (closed-form inverse CDF)
-            _, sinb, g1, tant = dist
+        elif dist[0] == "isotropic_xy":
+            # Closed-form inverse CDF (ops/spread.py:107-143), symmetric-y.
+            _, g0, g1, sb1, tyl, tyh = dist
             u, v = draw(), draw()
-            sx = jnp.sin(g1 * (u - 0.5)) / sinb
+            sx = jnp.sin((g0 + u * (g1 - g0)) * 0.5) / sb1
             tx = sx * jax.lax.rsqrt(jnp.maximum(1.0 - sx * sx, 1e-12))
             k2 = 1.0 + tx * tx
-            h0 = -tant * jax.lax.rsqrt(k2 + tant * tant)
-            h1 = tant * jax.lax.rsqrt(k2 + tant * tant)
+            h0 = tyl * jax.lax.rsqrt(k2 + tyl * tyl)
+            h1 = tyh * jax.lax.rsqrt(k2 + tyh * tyh)
             h = h0 + v * (h1 - h0)
             ty = jnp.sqrt(k2) * h * jax.lax.rsqrt(
                 jnp.maximum(1.0 - h * h, 1e-12)
             )
             w = jax.lax.rsqrt(1.0 + tx * tx + ty * ty)
             lx, ly, lz = tx * w, ty * w, w
+        elif dist[0] == "flat":
+            # r = tan(theta) sqrt(u) on the z=1 plane (ops/spread.py:157).
+            r = dist[1] * jnp.sqrt(draw())
+            phi = draw() * (2.0 * math.pi)
+            w = jax.lax.rsqrt(1.0 + r * r)
+            lx = jnp.cos(phi) * r * w
+            ly = jnp.sin(phi) * r * w
+            lz = w
+        elif dist[0] == "flat_xy":
+            _, t0, t1, t2, t3 = dist
+            x = t0 + draw() * (t1 - t0)
+            y = t2 + draw() * (t3 - t2)
+            w = jax.lax.rsqrt(1.0 + x * x + y * y)
+            lx, ly, lz = x * w, y * w, w
+        else:  # flat_gaussian
+            sig = dist[1]
+            x = sig * normal_draw()
+            y = sig * normal_draw()
+            w = jax.lax.rsqrt(1.0 + x * x + y * y)
+            lx, ly, lz = x * w, y * w, w
 
-        R = src["rot"]
-        dx = lx * R[0][0] + ly * R[1][0] + lz * R[2][0]
-        dy = lx * R[0][1] + ly * R[1][1] + lz * R[2][1]
-        dz = lx * R[0][2] + ly * R[1][2] + lz * R[2][2]
-        ox, oy, oz = src["origin"]
-        px = jnp.full((8, sub), ox, f32)
-        py = jnp.full((8, sub), oy, f32)
-        pz = jnp.full((8, sub), oz, f32)
+        if src["rot"] is not None:
+            R = src["rot"]
+            dx = lx * R[0][0] + ly * R[1][0] + lz * R[2][0]
+            dy = lx * R[0][1] + ly * R[1][1] + lz * R[2][1]
+            dz = lx * R[0][2] + ly * R[1][2] + lz * R[2][2]
+        else:
+            # Focused source: per-ray emission axis n = (target - p)/|.|,
+            # per-ray basis o1 = cross(n, bx) + cross(n, bz), o2 = cross(n,
+            # o1) (vec.orthogonal_basis / _XicsrtSourceGeneric.py:282-292).
+            tx_, ty_, tz_ = src["target"]
+            nx_ = tx_ - px
+            ny_ = ty_ - py
+            nz_ = tz_ - pz
+            inv = jax.lax.rsqrt(jnp.maximum(
+                nx_ * nx_ + ny_ * ny_ + nz_ * nz_, 1e-30))
+            nx_, ny_, nz_ = nx_ * inv, ny_ * inv, nz_ * inv
+            hx = B[0][0] + B[2][0]
+            hy = B[0][1] + B[2][1]
+            hz = B[0][2] + B[2][2]
+            o1x = ny_ * hz - nz_ * hy
+            o1y = nz_ * hx - nx_ * hz
+            o1z = nx_ * hy - ny_ * hx
+            inv = jax.lax.rsqrt(jnp.maximum(
+                o1x * o1x + o1y * o1y + o1z * o1z, 1e-30))
+            o1x, o1y, o1z = o1x * inv, o1y * inv, o1z * inv
+            o2x = ny_ * o1z - nz_ * o1y
+            o2y = nz_ * o1x - nx_ * o1z
+            o2z = nx_ * o1y - ny_ * o1x
+            dx = lx * o2x + ly * o1x + lz * nx_
+            dy = lx * o2y + ly * o1y + lz * ny_
+            dz = lx * o2z + ly * o1z + lz * nz_
+
+        # ---- source: wavelength ----------------------------------------
+        wave = src["wave"]
+        if not per_ray_wl:
+            wl = None
+        else:
+            if wave[0] == "mono":
+                wl = jnp.full((8, sub), wave[1], f32)
+            elif wave[0] == "uniform":
+                wl = wave[1] + draw() * (wave[2] - wave[1])
+            else:  # voigt: exact Gauss + Cauchy decomposition
+                _, w0_, sigma_, gamma_ = wave
+                wl = jnp.full((8, sub), w0_, f32)
+                if sigma_ > 0.0:
+                    wl = wl + sigma_ * normal_draw()
+                if gamma_ > 0.0:
+                    uc = jnp.clip(draw(), 1e-7, 1.0 - 1e-7)
+                    wl = wl + gamma_ * jnp.tan(math.pi * (uc - 0.5))
+            if src["velocity"] is not None:
+                vx_, vy_, vz_ = src["velocity"]
+                c_inv = 1.0 / 299792458.0
+                wl = wl * (1.0 - (vx_ * dx + vy_ * dy + vz_ * dz) * c_inv)
+
         if keep_meta:
             count_into(0, alive)
 
@@ -371,7 +578,7 @@ def build_fused_run(pipeline, num_iter: int | None = None,
                 nxv = jnp.full((8, sub), bz[0], f32)
                 nyv = jnp.full((8, sub), bz[1], f32)
                 nzv = jnp.full((8, sub), bz[2], f32)
-            else:  # sphere (cf. optics/shapes.py ShapeSphere)
+            elif o["shape"] == "sphere":  # cf. optics/shapes.py ShapeSphere
                 sign = -1.0 if o["convex"] else 1.0
                 radius = o["radius"]
                 C = (p0[0] + sign * radius * bz[0],
@@ -384,6 +591,92 @@ def build_fused_run(pipeline, num_iter: int | None = None,
                 m_int = alive & (d2 <= r2)
                 t_hc = jnp.sqrt(jnp.maximum(r2 - d2, 0.0))
                 t = t_ca + (-t_hc if o["convex"] else t_hc)
+            elif o["shape"] == "cylinder":
+                # Axis along the local xaxis (optics/shapes.py ShapeCylinder).
+                sign = -1.0 if o["convex"] else 1.0
+                radius = o["radius"]
+                ax = o["bx"]
+                C = (p0[0] + sign * radius * bz[0],
+                     p0[1] + sign * radius * bz[1],
+                     p0[2] + sign * radius * bz[2])
+                dpx, dpy, dpz = px - C[0], py - C[1], pz - C[2]
+                d_ax = dx * ax[0] + dy * ax[1] + dz * ax[2]
+                p_ax = dpx * ax[0] + dpy * ax[1] + dpz * ax[2]
+                A1x, A1y, A1z = (dx - d_ax * ax[0], dy - d_ax * ax[1],
+                                 dz - d_ax * ax[2])
+                B1x, B1y, B1z = (dpx - p_ax * ax[0], dpy - p_ax * ax[1],
+                                 dpz - p_ax * ax[2])
+                qa = A1x * A1x + A1y * A1y + A1z * A1z
+                qb = 2.0 * (A1x * B1x + A1y * B1y + A1z * B1z)
+                qc = B1x * B1x + B1y * B1y + B1z * B1z - radius * radius
+                disc = qb * qb - 4.0 * qa * qc
+                m_int = alive & (disc >= 0.0)
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                sgn = jnp.where(qb >= 0.0, 1.0, -1.0)
+                qq = -0.5 * (qb + sgn * sq)
+                t0_ = qq / jnp.where(jnp.abs(qa) > 1e-30, qa, 1e-30)
+                t1_ = qc / jnp.where(jnp.abs(qq) > 1e-30, qq, 1e-30)
+                t1_ = jnp.where(jnp.abs(qq) > 1e-30, t1_, t0_)
+                t = (jnp.minimum(t0_, t1_) if o["convex"]
+                     else jnp.maximum(t0_, t1_))
+                t = jnp.where(m_int, t, 0.0)
+            else:  # torus (optics/shapes.py ShapeTorus; kernel-safe quartic)
+                from xicsrt_tpu.ops.polynomials import (
+                    acos_kernel, solve_quartic_unsorted,
+                )
+
+                r_min = o["radius_minor"]
+                r_maj = o["radius_major"] + o["major_adjust"] * r_min
+                C = (p0[0] + o["center_sign"] * o["radius_major"] * bz[0],
+                     p0[1] + o["center_sign"] * o["radius_major"] * bz[1],
+                     p0[2] + o["center_sign"] * o["radius_major"] * bz[2])
+                bxr_, byr_ = o["bx"], o["by"]
+                # Torus-centered local coordinates (torus axis = local y).
+                rx_, ry_, rz_ = px - C[0], py - C[1], pz - C[2]
+                Olx = rx_ * bxr_[0] + ry_ * bxr_[1] + rz_ * bxr_[2]
+                Oly = rx_ * byr_[0] + ry_ * byr_[1] + rz_ * byr_[2]
+                Olz = rx_ * bz[0] + ry_ * bz[1] + rz_ * bz[2]
+                Dlx = dx * bxr_[0] + dy * bxr_[1] + dz * bxr_[2]
+                Dly = dx * byr_[0] + dy * byr_[1] + dz * byr_[2]
+                Dlz = dx * bz[0] + dy * bz[1] + dz * bz[2]
+                # Shift to the closest approach: conditions the f32 quartic.
+                t_shift = -(Olx * Dlx + Oly * Dly + Olz * Dlz)
+                Olx = Olx + t_shift * Dlx
+                Oly = Oly + t_shift * Dly
+                Olz = Olz + t_shift * Dlz
+                o2_ = Olx * Olx + Oly * Oly + Olz * Olz
+                od_ = Olx * Dlx + Oly * Dly + Olz * Dlz
+                r2_ = r_maj * r_maj + r_min * r_min
+                c0_ = jnp.ones_like(o2_)
+                c1_ = 4.0 * od_
+                c2_ = (4.0 * od_ * od_ + 2.0 * o2_ - 2.0 * r2_
+                       + 4.0 * r_maj**2 * Dly * Dly)
+                c3_ = 4.0 * od_ * (o2_ - r2_) + 8.0 * r_maj**2 * Dly * Oly
+                c4_ = (o2_ * o2_ - 2.0 * r2_ * o2_
+                       + 4.0 * r_maj**2 * Oly * Oly
+                       + (r_maj**2 - r_min**2) ** 2)
+                roots = solve_quartic_unsorted(
+                    c0_, c1_, c2_, c3_, c4_, acos=acos_kernel)
+                # Root selection: positive real hit with minimal |local z|
+                # (the optic patch containing the frame origin) — same rule
+                # as the XLA path.
+                z0_ = ((px - p0[0]) * bz[0] + (py - p0[1]) * bz[1]
+                       + (pz - p0[2]) * bz[2])
+                zd_ = Dlz
+                t = jnp.zeros_like(o2_)
+                best = jnp.full_like(o2_, 3.4e38)
+                any_valid = jnp.zeros_like(o2_, dtype=jnp.bool_)
+                for rroot in roots:
+                    cand = rroot + t_shift
+                    # NaN-safe: NaN fails both comparisons.
+                    v_ = (cand > 1e-6) & (cand < 3.4e38) & (cand == cand)
+                    score = jnp.where(v_, jnp.abs(z0_ + cand * zd_), 3.4e38)
+                    better = score < best
+                    best = jnp.where(better, score, best)
+                    t = jnp.where(better, cand, t)
+                    any_valid = any_valid | v_
+                m_int = alive & any_valid
+                t = jnp.where(m_int, t, 0.0)
 
             qx = jnp.where(m_int, px + t * dx, px)
             qy = jnp.where(m_int, py + t * dy, py)
@@ -393,6 +686,33 @@ def build_fused_run(pipeline, num_iter: int | None = None,
                 nxv = C[0] - qx
                 nyv = C[1] - qy
                 nzv = C[2] - qz
+                inv = jax.lax.rsqrt(jnp.maximum(
+                    nxv * nxv + nyv * nyv + nzv * nzv, 1e-30))
+                nxv, nyv, nzv = nxv * inv, nyv * inv, nzv * inv
+            elif o["shape"] == "cylinder":
+                # Normal from the surface towards the axis.
+                tcx, tcy, tcz = C[0] - qx, C[1] - qy, C[2] - qz
+                along = tcx * ax[0] + tcy * ax[1] + tcz * ax[2]
+                nxv = tcx - along * ax[0]
+                nyv = tcy - along * ax[1]
+                nzv = tcz - along * ax[2]
+                inv = jax.lax.rsqrt(jnp.maximum(
+                    nxv * nxv + nyv * nyv + nzv * nzv, 1e-30))
+                nxv, nyv, nzv = nxv * inv, nyv * inv, nzv * inv
+            elif o["shape"] == "torus":
+                # Project the hit onto the torus axis circle; normal points
+                # from the tube center to the hit (global frame).
+                ptx, pty, ptz = qx - C[0], qy - C[1], qz - C[2]
+                yax = o["by"]
+                d_y = ptx * yax[0] + pty * yax[1] + ptz * yax[2]
+                plx = ptx - d_y * yax[0]
+                ply = pty - d_y * yax[1]
+                plz = ptz - d_y * yax[2]
+                inv = jax.lax.rsqrt(jnp.maximum(
+                    plx * plx + ply * ply + plz * plz, 1e-30))
+                nxv = ptx - r_maj * plx * inv
+                nyv = pty - r_maj * ply * inv
+                nzv = ptz - r_maj * plz * inv
                 inv = jax.lax.rsqrt(jnp.maximum(
                     nxv * nxv + nyv * nyv + nzv * nzv, 1e-30))
                 nxv, nyv, nzv = nxv * inv, nyv * inv, nzv * inv
@@ -462,7 +782,12 @@ def build_fused_run(pipeline, num_iter: int | None = None,
                 # (|delta| < pi/2 always, so sin is monotone: no spurious
                 # zeros at any Bragg angle).
                 cosi = jnp.sqrt(jnp.maximum(1.0 - adot * adot, 0.0))
-                sd = adot * rk["cos_b"] - cosi * rk["sin_b"]
+                if wl is None:
+                    sin_b, cos_b = rk["sin_b"], rk["cos_b"]
+                else:
+                    sin_b = jnp.clip(wl * rk["inv_2d"], 0.0, 1.0)
+                    cos_b = jnp.sqrt(jnp.maximum(1.0 - sin_b * sin_b, 0.0))
+                sd = adot * cos_b - cosi * sin_b
                 delta = sd + sd * sd * sd * (1.0 / 6.0)
                 if rk["type"] == "gaussian":
                     sigma = rk["fwhm"] / (2.0 * math.sqrt(2.0 * math.log(2.0)))
@@ -556,9 +881,14 @@ def build_fused_run(pipeline, num_iter: int | None = None,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
-        # Plain interpret mode has no lowering for the TPU PRNG primitives;
-        # InterpretParams emulates full TPU semantics on CPU (used in tests).
-        interpret=pltpu.InterpretParams() if interpret else False,
+        # Off-chip: 'input' mode uses no TPU PRNG primitives, so the plain
+        # interpreter suffices — and unlike InterpretParams it composes
+        # with shard_map on a virtual CPU mesh (InterpretParams deadlocks
+        # there). 'hw' off-chip needs InterpretParams' PRNG emulation.
+        interpret=(
+            (True if rng == "input" else pltpu.InterpretParams())
+            if interpret else False
+        ),
     )
 
     element_names = pipeline.element_names
@@ -570,6 +900,15 @@ def build_fused_run(pipeline, num_iter: int | None = None,
         seed = jax.random.randint(
             key, (2,), 0, np.iinfo(np.int32).max, dtype=jnp.int32
         )
+        if poisson_rate is not None:
+            cnt = jnp.minimum(
+                jax.random.poisson(jax.random.fold_in(key, 7919),
+                                   poisson_rate),
+                n_total,
+            ).astype(jnp.int32)
+        else:
+            cnt = jnp.asarray(n_total, dtype=jnp.int32)
+        seed = jnp.concatenate([seed, cnt[None]])
         if rng == "input":
             uniforms = jax.random.uniform(
                 key, (n_chunks, n_draws, 8, sub), dtype=f32

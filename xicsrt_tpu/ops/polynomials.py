@@ -50,11 +50,30 @@ def _cbrt(x):
     return jnp.sign(x) * jnp.abs(x) ** (1.0 / 3.0)
 
 
-def cubic_largest_real_root(b, c, d):
+def acos_kernel(x):
+    """Mosaic-safe arccos: Abramowitz–Stegun 4.4.45 polynomial + one Newton
+    step on cos(theta) = x. Max error ~1e-7 rad — inside a Pallas TPU kernel
+    ``jnp.arccos`` has no lowering; downstream Newton polish (quartic roots)
+    absorbs the residual. Accepts x in [-1, 1]."""
+    ax = jnp.clip(jnp.abs(x), 0.0, 1.0)
+    p = jnp.asarray(-0.0012624911, ax.dtype)
+    for coef in (0.0066700901, -0.0170881256, 0.0308918810, -0.0501743046,
+                 0.0889789874, -0.2145988016, 1.5707963050):
+        p = p * ax + coef
+    theta = p * jnp.sqrt(jnp.maximum(1.0 - ax, 0.0))
+    s = jnp.sin(theta)
+    theta = theta + (jnp.cos(theta) - ax) / jnp.maximum(s, 1e-6)
+    import math as _math
+
+    return jnp.where(x >= 0.0, theta, _math.pi - theta)
+
+
+def cubic_largest_real_root(b, c, d, acos=jnp.arccos):
     """Largest real root of x^3 + b x^2 + c x + d = 0, elementwise.
 
     Cardano for the single-real-root case; trigonometric form for three real
     roots. Both branches are evaluated and selected with ``where``.
+    ``acos``: override with :func:`acos_kernel` inside Pallas kernels.
     """
     # Depressed cubic t^3 + P t + Q with x = t - b/3.
     b2 = b * b
@@ -72,7 +91,7 @@ def cubic_largest_real_root(b, c, d):
     # Three real roots (disc < 0): largest is 2 sqrt(-P/3) cos(theta/3).
     rho = jnp.sqrt(jnp.maximum(-third_p, _TINY))
     cos_arg = jnp.clip(-half_q / jnp.maximum(rho**3, _TINY), -1.0, 1.0)
-    theta = jnp.arccos(cos_arg)
+    theta = acos(cos_arg)
     t_three = 2.0 * rho * jnp.cos(theta / 3.0)
 
     t = jnp.where(disc >= 0.0, t_one, t_three)
@@ -95,12 +114,10 @@ def _quartic_newton_polish(x, c0, c1, c2, c3, c4, iters=2):
     return x
 
 
-def solve_quartic(c0, c1, c2, c3, c4):
-    """Real roots of c0 x^4 + c1 x^3 + c2 x^2 + c3 x + c4 = 0, elementwise.
-
-    Returns roots [..., 4] sorted ascending, NaN-padded (complex pairs and
-    the sorted tail are NaN). Ferrari's method through the resolvent cubic,
-    followed by Newton polish on the original quartic.
+def solve_quartic_unsorted(c0, c1, c2, c3, c4, acos=jnp.arccos):
+    """Real roots of c0 x^4 + ... + c4, elementwise; list of 4 unsorted
+    arrays, NaN where complex. Kernel-safe with ``acos=acos_kernel`` (no
+    stacking/sorting, which Pallas TPU cannot lower on the minor axis).
     """
     inv_c0 = 1.0 / jnp.where(jnp.abs(c0) > _TINY, c0, _TINY)
     a = c1 * inv_c0
@@ -115,7 +132,7 @@ def solve_quartic(c0, c1, c2, c3, c4):
     r = d - a * c / 4.0 + a2 * b / 16.0 - 3.0 * a2 * a2 / 256.0
 
     # Resolvent cubic: m^3 + p m^2 + (p^2/4 - r) m - q^2/8 = 0.
-    m = cubic_largest_real_root(p, 0.25 * p * p - r, -q * q / 8.0)
+    m = cubic_largest_real_root(p, 0.25 * p * p - r, -q * q / 8.0, acos=acos)
     m = jnp.maximum(m, 0.0)
 
     s2 = 2.0 * m
@@ -150,9 +167,19 @@ def solve_quartic(c0, c1, c2, c3, c4):
     ]
 
     shift = a / 4.0
-    roots = jnp.stack([y - shift for y in y_roots], axis=-1)
-    roots = _quartic_newton_polish(
-        roots, c0[..., None], c1[..., None], c2[..., None], c3[..., None], c4[..., None]
-    )
+    return [
+        _quartic_newton_polish(y - shift, c0, c1, c2, c3, c4)
+        for y in y_roots
+    ]
+
+
+def solve_quartic(c0, c1, c2, c3, c4):
+    """Real roots of c0 x^4 + c1 x^3 + c2 x^2 + c3 x + c4 = 0, elementwise.
+
+    Returns roots [..., 4] sorted ascending, NaN-padded (complex pairs and
+    the sorted tail are NaN). Ferrari's method through the resolvent cubic,
+    followed by Newton polish on the original quartic.
+    """
+    roots = jnp.stack(solve_quartic_unsorted(c0, c1, c2, c3, c4), axis=-1)
     # Ascending sort; NaN sorts to the end.
     return jnp.sort(roots, axis=-1)

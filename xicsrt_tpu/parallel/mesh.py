@@ -136,13 +136,21 @@ def _shard_intensity(config: dict, n_devices: int) -> dict:
 def make_sharded_run(config: dict, num_iter: int | None = None,
                      mesh: Mesh | None = None, n_devices: int | None = None,
                      keep_history: bool | None = None,
-                     keep_images: bool | None = None):
+                     keep_images: bool | None = None,
+                     engine: str | None = None):
     """Compile a full multi-iteration run sharded over the ray axis.
 
     Returns ``(jitted_fn, pipeline, mesh)`` where ``jitted_fn(params, key)``
     produces the same output pytree as ``Pipeline.make_run`` but with rays
     split across devices: meta/image are globally reduced, history arrays are
     sharded on axis 0.
+
+    ``engine`` (default ``general.engine``): ``'fused'``/``'auto'`` wraps
+    the single-kernel Pallas engine in ``shard_map`` — each device seeds its
+    own hardware-PRNG stream from the mesh position, traces its share of the
+    photon load and psums counts/images, so the fast path and the multi-chip
+    path compose. ``'auto'`` falls back to the XLA engine outside the fused
+    subset or when history is kept.
     """
     if mesh is None:
         mesh = ray_mesh(n_devices)
@@ -155,6 +163,72 @@ def make_sharded_run(config: dict, num_iter: int | None = None,
         num_iter = int(g["number_of_iter"])
     if keep_history is None:
         keep_history = bool(g["keep_history"])
+    if engine is None:
+        engine = str(g.get("engine", "xla")).lower()
+
+    if engine in ("fused", "auto") and not keep_history:
+        from xicsrt_tpu.ops.fused_trace import (
+            FusedUnsupported, build_fused_run,
+        )
+
+        try:
+            fused = build_fused_run(
+                pipeline, num_iter=num_iter,
+                interpret=jax.default_backend() != "tpu",
+            )
+        except FusedUnsupported as err:
+            if engine == "fused":
+                raise
+            log.info("fused engine unavailable (%s); sharding the XLA "
+                     "engine", err)
+        else:
+            use_images = (bool(g["keep_images"]) if keep_images is None
+                          else keep_images)
+
+            def device_run_fused(key):
+                idx = jax.lax.axis_index("rays")
+                out = fused(jax.random.fold_in(key, idx))
+                meta = {k: jax.lax.psum(v, "rays")
+                        for k, v in out["meta"].items()}
+                image = ({k: jax.lax.psum(v, "rays")
+                          for k, v in out["image"].items()}
+                         if use_images else {})
+                return {"meta": meta, "image": image, "history": {}}
+
+            meta_spec = ({k: P() for k in pipeline.element_names}
+                         if g.get("keep_meta", True) else {})
+            image_spec = ({k: P() for k in pipeline.image_specs()}
+                          if use_images else {})
+            fn = shard_map(
+                device_run_fused,
+                mesh=mesh,
+                in_specs=(P(),),
+                out_specs={"meta": meta_spec, "image": image_spec,
+                           "history": {}},
+                check_vma=False,
+            )
+            jitted = jax.jit(fn)
+            build_params = pipeline.params
+
+            def runner(params, key):
+                from xicsrt_tpu.engine import _params_match
+
+                if params is not build_params and not _params_match(
+                        params, build_params):
+                    raise ValueError(
+                        "engine='fused' bakes geometry in at build time; "
+                        "rebuild after changing params or use the XLA "
+                        "engine."
+                    )
+                return jitted(key)
+
+            return runner, pipeline, mesh
+    elif engine == "fused":
+        raise NotImplementedError(
+            "engine='fused' does not keep ray history; set "
+            "keep_history=False (or engine='auto' to fall back)."
+        )
+
     run_fn = pipeline.make_run(num_iter, keep_history=keep_history,
                                keep_images=keep_images)
 
