@@ -359,6 +359,40 @@ class TestWidenedSubset:
                 int(out_f["meta"][name]), int(out_x["meta"][name]), n)
         assert int(out_f["meta"]["detector"]) > 0
 
+    def test_mosaic_crystal(self):
+        """Fused unrolled mosaic loop vs the XLA fori_loop mosaic."""
+        n = 1 << 15
+        crystal = {
+            "class_name": "XicsrtOpticSphericalMosaicCrystal",
+            "origin": [0.0, 0.0, 0.80374151],
+            "zaxis": [0.0, 0.59497864, -0.80374151],
+            "xsize": 0.2, "ysize": 0.2, "radius": 1.0,
+            "crystal_spacing": 2.45676,
+            "rocking_type": "gaussian", "rocking_fwhm": 150e-6,
+            "mosaic_spread": np.radians(0.05), "mosaic_depth": 10,
+        }
+        out_f, out_x = _run_both(self._crystal_config(n, crystal))
+        for name in ("crystal", "detector"):
+            _assert_binomial_close(
+                int(out_f["meta"][name]), int(out_x["meta"][name]), n)
+        assert int(out_f["meta"]["detector"]) > 0
+
+    def test_mosaic_cutoff(self):
+        n = 1 << 14
+        crystal = {
+            "class_name": "XicsrtOpticSphericalMosaicCrystal",
+            "origin": [0.0, 0.0, 0.80374151],
+            "zaxis": [0.0, 0.59497864, -0.80374151],
+            "xsize": 0.2, "ysize": 0.2, "radius": 1.0,
+            "crystal_spacing": 2.45676,
+            "rocking_type": "gaussian", "rocking_fwhm": 150e-6,
+            "mosaic_spread": np.radians(0.05), "mosaic_depth": 10,
+            "mosaic_cutoff": 1e-4,
+        }
+        out_f, out_x = _run_both(self._crystal_config(n, crystal))
+        _assert_binomial_close(
+            int(out_f["meta"]["crystal"]), int(out_x["meta"]["crystal"]), n)
+
     def test_convex_cylinder_mirror(self):
         n = 1 << 14
         crystal = {
@@ -377,6 +411,104 @@ class TestWidenedSubset:
         assert int(out_f["meta"]["crystal"]) > 0
 
 
+class TestFusedTraceHybrid:
+    """Trace-only kernel: XLA generation (plasma/filtered sources) + the
+    shared Pallas optic chain, streamed from HBM."""
+
+    def _plasma_config(self, **crystal_overrides):
+        crystal = {
+            "class_name": "XicsrtOpticSphericalCrystal",
+            "origin": [0.0, 0.0, 0.80374151],
+            "zaxis": [0.0, 0.59497864, -0.80374151],
+            "xsize": 0.2, "ysize": 0.2, "radius": 1.0,
+            "crystal_spacing": 2.45676,
+            "rocking_type": "gaussian", "rocking_fwhm": 150e-6,
+        }
+        crystal.update(crystal_overrides)
+        return {
+            "general": {"number_of_iter": 1, "random_seed": 0,
+                        "keep_history": False, "print_results": False},
+            "sources": {"plasma": {
+                "class_name": "XicsrtPlasmaCubic",
+                "origin": [0.0, 0.0, 0.0],
+                "xsize": 0.02, "ysize": 0.02, "zsize": 0.02,
+                "target": [0.0, 0.0, 0.80374151],
+                "spread": np.radians(10.0),
+                "emissivity": 2e12,
+                "temperature": 500.0,
+                "mass_number": 40.0,
+                "wavelength": 3.9492,
+                "time_resolution": 1e-3,
+                "bundle_volume": 1e-6,
+                "bundle_count": 100,
+                "use_poisson": True,
+            }},
+            "optics": {
+                "crystal": crystal,
+                "detector": {
+                    "class_name": "XicsrtOpticDetector",
+                    "origin": [0.0, 0.76871290, 0.56904832],
+                    "zaxis": [0.0, -0.95641806, 0.29200084],
+                    "xsize": 0.4, "ysize": 0.2,
+                },
+            },
+        }
+
+    def test_plasma_spherical(self):
+        from xicsrt_tpu.ops.fused_trace import build_fast_run
+
+        pipe = Pipeline(self._plasma_config())
+        run, kind = build_fast_run(pipe, interpret=True, chunk=4096)
+        assert kind == "fused_trace"
+        out = jax.tree_util.tree_map(np.asarray, run(jax.random.key(0)))
+        n = int(out["meta"]["plasma"])
+        # Physical photon count (cf. tests/test_plasma.py).
+        expected = 2e12 * 1e-3 * 0.02**3 * np.sin(np.radians(10.0) / 2) ** 2
+        assert abs(n - expected) < 6 * np.sqrt(expected), (n, expected)
+
+        it = pipe.make_iteration(keep_history=False, keep_images=True)
+        out_x = jax.tree_util.tree_map(
+            np.asarray, it(pipe.params, jax.random.key(1)))
+        for name in ("crystal", "detector"):
+            _assert_binomial_close(
+                int(out["meta"][name]), int(out_x["meta"][name]), n)
+        assert out["image"]["detector"].sum() == int(out["meta"]["detector"])
+
+    def test_plasma_toroidal_multi_iter(self):
+        from xicsrt_tpu.ops.fused_trace import build_fast_run
+
+        config = self._plasma_config(
+            class_name="XicsrtOpticToroidalCrystal",
+            radius_major=1.0, radius_minor=0.64, rocking_fwhm=2e-3)
+        del config["optics"]["crystal"]["radius"]
+        config["sources"]["plasma"]["emissivity"] = 2e13
+        config["general"]["number_of_iter"] = 3
+        pipe = Pipeline(config)
+        run, kind = build_fast_run(pipe, interpret=True, chunk=4096)
+        assert kind == "fused_trace"
+        out = jax.tree_util.tree_map(np.asarray, run(jax.random.key(0)))
+        n = int(out["meta"]["plasma"])
+        expected = 3 * 2e13 * 1e-3 * 0.02**3 * np.sin(
+            np.radians(10.0) / 2) ** 2
+        assert abs(n - expected) < 6 * np.sqrt(expected), (n, expected)
+        assert int(out["meta"]["detector"]) > 0
+        assert out["image"]["detector"].sum() == int(out["meta"]["detector"])
+        # Cross-check the torus+plasma chain against the XLA engine.
+        it = jax.jit(pipe.make_run(3))
+        out_x = jax.tree_util.tree_map(
+            np.asarray, it(pipe.params, jax.random.key(1)))
+        _assert_binomial_close(
+            int(out["meta"]["crystal"]), int(out_x["meta"]["crystal"]), n)
+
+    def test_engine_auto_routes_plasma_to_hybrid(self):
+        config = self._plasma_config()
+        config["general"]["engine"] = "fused"
+        results = raytrace(config)
+        n = results["total"]["meta"]["plasma"]["num_out"]
+        expected = 2e12 * 1e-3 * 0.02**3 * np.sin(np.radians(10.0) / 2) ** 2
+        assert abs(n - expected) < 6 * np.sqrt(expected), (n, expected)
+
+
 class TestEngineRouting:
     def test_raytrace_auto_uses_fused(self, tmp_path, caplog):
         config = _spectrometer(4096, engine="fused")
@@ -386,21 +518,15 @@ class TestEngineRouting:
         assert img.sum() == results["total"]["meta"]["detector"]["num_out"]
 
     def test_auto_falls_back_outside_subset(self):
-        # Mosaic crystals are outside the fused subset -> auto = XLA engine.
-        config = _spectrometer(1024, engine="auto")
-        config["optics"]["crystal"]["class_name"] = (
-            "XicsrtOpticSphericalMosaicCrystal")
-        config["optics"]["crystal"]["mosaic_spread"] = np.radians(0.05)
+        # Weight mode is outside the fused subset -> auto = XLA engine.
+        config = _spectrometer(1024, engine="auto", interact_mode="weight")
         results = raytrace(config)
         assert results["total"]["meta"]["source"]["num_out"] >= 0
 
     def test_fused_raises_outside_subset(self):
         from xicsrt_tpu.engine import build_runner
 
-        config = _spectrometer(1024, engine="fused")
-        config["optics"]["crystal"]["class_name"] = (
-            "XicsrtOpticSphericalMosaicCrystal")
-        config["optics"]["crystal"]["mosaic_spread"] = np.radians(0.05)
+        config = _spectrometer(1024, engine="fused", interact_mode="weight")
         with pytest.raises(FusedUnsupported):
             build_runner(config)
 

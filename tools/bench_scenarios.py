@@ -140,7 +140,11 @@ def time_chained(step, params, n_rays, reps=2, blocks=2):
     return n_rays * reps / best
 
 
-def run_scenario(name, log2=22, num_iter=4):
+def run_scenario(name, log2=None, num_iter=None):
+    if log2 is None:
+        log2 = int(os.environ.get("XICSRT_BENCH_LOG2", "22"))
+    if num_iter is None:
+        num_iter = int(os.environ.get("XICSRT_BENCH_ITER", "4"))
     import jax
     import jax.numpy as jnp
 
@@ -168,8 +172,21 @@ def run_scenario(name, log2=22, num_iter=4):
         rps = time_chained(step, pipeline.params, n_rays)
     else:
         pipeline = Pipeline(config)
-        run = pipeline.make_run(num_iter, keep_history=False,
-                                keep_images=True)
+        engine = "xla"
+        if os.environ.get("XICSRT_BENCH_ENGINE", "auto") != "xla":
+            from xicsrt_tpu.ops.fused_trace import (
+                FusedUnsupported, build_fast_run,
+            )
+
+            try:
+                fused, engine = build_fast_run(pipeline, num_iter=num_iter)
+            except FusedUnsupported:
+                pass
+        if engine == "fused":
+            run = lambda params, key: fused(key)  # noqa: E731
+        else:
+            run = pipeline.make_run(num_iter, keep_history=False,
+                                    keep_images=True)
         last = pipeline.element_names[-1]
 
         def step(params, key, dep):
@@ -178,7 +195,11 @@ def run_scenario(name, log2=22, num_iter=4):
 
         n_rays = pipeline.num_rays * num_iter
         rps = time_chained(step, pipeline.params, n_rays)
-    return {"scenario": name, "rays_per_s": float(f"{rps:.4g}"),
+        return {"scenario": name, "engine": engine,
+                "rays_per_s": float(f"{rps:.4g}"),
+                "rays_per_dispatch": n_rays}
+    return {"scenario": name, "engine": "xla",
+            "rays_per_s": float(f"{rps:.4g}"),
             "rays_per_dispatch": n_rays}
 
 

@@ -357,12 +357,12 @@ def build_runner(config: dict, pipeline: Pipeline | None = None):
     num_iter = int(pipeline.general["number_of_iter"])
     engine_kind = str(g.get("engine", "xla")).lower()
     if engine_kind in ("fused", "auto") and not bool(g["keep_history"]):
-        from xicsrt_tpu.ops.fused_trace import FusedUnsupported, build_fused_run
+        from xicsrt_tpu.ops.fused_trace import FusedUnsupported, build_fast_run
 
         try:
             # Off-TPU the kernel runs under the Pallas TPU interpreter
             # (correctness/testing only — the perf path is the real chip).
-            fused = build_fused_run(
+            fused, _kind = build_fast_run(
                 pipeline, num_iter=num_iter,
                 interpret=jax.default_backend() != "tpu",
             )

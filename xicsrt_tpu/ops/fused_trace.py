@@ -20,13 +20,14 @@ Supported subset (config ``general.engine='fused'``; build raises
 - optic chain of: plane + none (apertures/detectors, circle/square/
   rectangle/ellipse aperture logic), plane/sphere/cylinder/torus + mirror
   or + crystal with gaussian/step rocking in ``mc`` mode (torus quartic
-  solved in-kernel with a Mosaic-safe arccos);
+  solved in-kernel with a Mosaic-safe arccos), mosaic crystals (unrolled
+  static-depth crystallite loop);
 - nearest-mode images, float32, no history (throughput/serving path — the
   differentiable path stays on the XLA engine).
 
 Still outside the subset: plasma/bundle sources and mesh shapes (use the
-XLA engine), mosaic crystals, file rocking curves, asymmetric-y
-isotropic_xy, weight mode, bilinear images, ray history.
+XLA engine), file rocking curves, asymmetric-y isotropic_xy, weight mode,
+bilinear images, ray history.
 
 Numerical notes vs the XLA engine (validated statistically in tests):
 
@@ -274,8 +275,6 @@ def _optic_spec(optic, wavelength, per_ray_wl):
     else:
         raise FusedUnsupported(f"shape of {type(optic).__name__}")
 
-    if isinstance(optic, InteractMosaicCrystal):
-        raise FusedUnsupported("mosaic crystals")
     if isinstance(optic, InteractCrystal):
         if not p.get("check_bragg", True):
             spec["interact"] = "mirror"
@@ -298,6 +297,25 @@ def _optic_spec(optic, wavelength, per_ray_wl):
                     raise FusedUnsupported("wavelength outside Bragg range")
                 spec["rocking"]["sin_b"] = sin_b
                 spec["rocking"]["cos_b"] = math.sqrt(1.0 - sin_b * sin_b)
+            if isinstance(optic, InteractMosaicCrystal):
+                # Multi-layer crystallite model, unrolled to a static depth
+                # (cf. _InteractMosaicCrystal.py:53-139 and the XLA
+                # fori_loop in optics/interactions.py).
+                spec["interact"] = "mosaic"
+                depth = int(p["mosaic_depth"])
+                spread = _f(p["mosaic_spread"])
+                hwhm = spread / 2.0
+                spec["mosaic"] = {
+                    "depth": depth,
+                    # flat_gaussian crystallite sigma (ops/spread.py:208).
+                    "sigma_n": math.sin(
+                        hwhm / math.sqrt(2.0 * math.log(2.0))),
+                    "cutoff_angle": (
+                        math.sqrt(-math.log(_f(p["mosaic_cutoff"])) * 2.0)
+                        * spread / (2.0 * math.sqrt(2.0 * math.log(2.0)))
+                        if p.get("mosaic_cutoff") is not None else None),
+                }
+                spec["n_draws"] = 3 * depth
     elif isinstance(optic, InteractMirror):
         spec["interact"] = "mirror"
     elif isinstance(optic, InteractNone):
@@ -311,8 +329,371 @@ def _optic_spec(optic, wavelength, per_ray_wl):
 # Kernel builder.
 # ---------------------------------------------------------------------------
 
+def _trace_chain(optics, sub, keep_meta, keep_images, draw, count_into,
+                 image_refs, px, py, pz, dx, dy, dz, wl, alive):
+    """Shared optic-chain body for both fused kernels (megakernel and
+    trace-only): intersect -> bounds/aperture -> interact -> count ->
+    image-accumulate for every optic, entirely in VMEM/registers."""
+    f32 = jnp.float32
+
+    def normal_draw():
+        u = jnp.clip(draw(), 1e-7, 1.0 - 1e-7)
+        return math.sqrt(2.0) * jax.lax.erf_inv(2.0 * u - 1.0)
+    # ---- optic chain ------------------------------------------------
+    img_slot = 0
+    for ei, o in enumerate(optics):
+        p0 = o["origin"]
+        bz = o["bz"]
+        if o["shape"] == "plane":
+            denom = dx * bz[0] + dy * bz[1] + dz * bz[2]
+            numer = ((p0[0] - px) * bz[0] + (p0[1] - py) * bz[1]
+                     + (p0[2] - pz) * bz[2])
+            safe = jnp.where(jnp.abs(denom) > 1e-30, denom, 1e-30)
+            t = numer / safe
+            m_int = alive & (t >= 0.0) & (jnp.abs(denom) > 1e-30)
+            nxv = jnp.full((8, sub), bz[0], f32)
+            nyv = jnp.full((8, sub), bz[1], f32)
+            nzv = jnp.full((8, sub), bz[2], f32)
+        elif o["shape"] == "sphere":  # cf. optics/shapes.py ShapeSphere
+            sign = -1.0 if o["convex"] else 1.0
+            radius = o["radius"]
+            C = (p0[0] + sign * radius * bz[0],
+                 p0[1] + sign * radius * bz[1],
+                 p0[2] + sign * radius * bz[2])
+            Lx, Ly, Lz = C[0] - px, C[1] - py, C[2] - pz
+            t_ca = Lx * dx + Ly * dy + Lz * dz
+            d2 = Lx * Lx + Ly * Ly + Lz * Lz - t_ca * t_ca
+            r2 = radius * radius
+            m_int = alive & (d2 <= r2)
+            t_hc = jnp.sqrt(jnp.maximum(r2 - d2, 0.0))
+            t = t_ca + (-t_hc if o["convex"] else t_hc)
+        elif o["shape"] == "cylinder":
+            # Axis along the local xaxis (optics/shapes.py ShapeCylinder).
+            sign = -1.0 if o["convex"] else 1.0
+            radius = o["radius"]
+            ax = o["bx"]
+            C = (p0[0] + sign * radius * bz[0],
+                 p0[1] + sign * radius * bz[1],
+                 p0[2] + sign * radius * bz[2])
+            dpx, dpy, dpz = px - C[0], py - C[1], pz - C[2]
+            d_ax = dx * ax[0] + dy * ax[1] + dz * ax[2]
+            p_ax = dpx * ax[0] + dpy * ax[1] + dpz * ax[2]
+            A1x, A1y, A1z = (dx - d_ax * ax[0], dy - d_ax * ax[1],
+                             dz - d_ax * ax[2])
+            B1x, B1y, B1z = (dpx - p_ax * ax[0], dpy - p_ax * ax[1],
+                             dpz - p_ax * ax[2])
+            qa = A1x * A1x + A1y * A1y + A1z * A1z
+            qb = 2.0 * (A1x * B1x + A1y * B1y + A1z * B1z)
+            qc = B1x * B1x + B1y * B1y + B1z * B1z - radius * radius
+            disc = qb * qb - 4.0 * qa * qc
+            m_int = alive & (disc >= 0.0)
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            sgn = jnp.where(qb >= 0.0, 1.0, -1.0)
+            qq = -0.5 * (qb + sgn * sq)
+            t0_ = qq / jnp.where(jnp.abs(qa) > 1e-30, qa, 1e-30)
+            t1_ = qc / jnp.where(jnp.abs(qq) > 1e-30, qq, 1e-30)
+            t1_ = jnp.where(jnp.abs(qq) > 1e-30, t1_, t0_)
+            t = (jnp.minimum(t0_, t1_) if o["convex"]
+                 else jnp.maximum(t0_, t1_))
+            t = jnp.where(m_int, t, 0.0)
+        else:  # torus (optics/shapes.py ShapeTorus; kernel-safe quartic)
+            from xicsrt_tpu.ops.polynomials import (
+                acos_kernel, solve_quartic_unsorted,
+            )
+
+            r_min = o["radius_minor"]
+            r_maj = o["radius_major"] + o["major_adjust"] * r_min
+            C = (p0[0] + o["center_sign"] * o["radius_major"] * bz[0],
+                 p0[1] + o["center_sign"] * o["radius_major"] * bz[1],
+                 p0[2] + o["center_sign"] * o["radius_major"] * bz[2])
+            bxr_, byr_ = o["bx"], o["by"]
+            # Torus-centered local coordinates (torus axis = local y).
+            rx_, ry_, rz_ = px - C[0], py - C[1], pz - C[2]
+            Olx = rx_ * bxr_[0] + ry_ * bxr_[1] + rz_ * bxr_[2]
+            Oly = rx_ * byr_[0] + ry_ * byr_[1] + rz_ * byr_[2]
+            Olz = rx_ * bz[0] + ry_ * bz[1] + rz_ * bz[2]
+            Dlx = dx * bxr_[0] + dy * bxr_[1] + dz * bxr_[2]
+            Dly = dx * byr_[0] + dy * byr_[1] + dz * byr_[2]
+            Dlz = dx * bz[0] + dy * bz[1] + dz * bz[2]
+            # Shift to the closest approach: conditions the f32 quartic.
+            t_shift = -(Olx * Dlx + Oly * Dly + Olz * Dlz)
+            Olx = Olx + t_shift * Dlx
+            Oly = Oly + t_shift * Dly
+            Olz = Olz + t_shift * Dlz
+            o2_ = Olx * Olx + Oly * Oly + Olz * Olz
+            od_ = Olx * Dlx + Oly * Dly + Olz * Dlz
+            r2_ = r_maj * r_maj + r_min * r_min
+            c0_ = jnp.ones_like(o2_)
+            c1_ = 4.0 * od_
+            c2_ = (4.0 * od_ * od_ + 2.0 * o2_ - 2.0 * r2_
+                   + 4.0 * r_maj**2 * Dly * Dly)
+            c3_ = 4.0 * od_ * (o2_ - r2_) + 8.0 * r_maj**2 * Dly * Oly
+            c4_ = (o2_ * o2_ - 2.0 * r2_ * o2_
+                   + 4.0 * r_maj**2 * Oly * Oly
+                   + (r_maj**2 - r_min**2) ** 2)
+            roots = solve_quartic_unsorted(
+                c0_, c1_, c2_, c3_, c4_, acos=acos_kernel)
+            # Root selection: positive real hit with minimal |local z|
+            # (the optic patch containing the frame origin) — same rule
+            # as the XLA path.
+            z0_ = ((px - p0[0]) * bz[0] + (py - p0[1]) * bz[1]
+                   + (pz - p0[2]) * bz[2])
+            zd_ = Dlz
+            t = jnp.zeros_like(o2_)
+            best = jnp.full_like(o2_, 3.4e38)
+            any_valid = jnp.zeros_like(o2_, dtype=jnp.bool_)
+            for rroot in roots:
+                cand = rroot + t_shift
+                # NaN-safe: NaN fails both comparisons.
+                v_ = (cand > 1e-6) & (cand < 3.4e38) & (cand == cand)
+                score = jnp.where(v_, jnp.abs(z0_ + cand * zd_), 3.4e38)
+                better = score < best
+                best = jnp.where(better, score, best)
+                t = jnp.where(better, cand, t)
+                any_valid = any_valid | v_
+            m_int = alive & any_valid
+            t = jnp.where(m_int, t, 0.0)
+
+        qx = jnp.where(m_int, px + t * dx, px)
+        qy = jnp.where(m_int, py + t * dy, py)
+        qz = jnp.where(m_int, pz + t * dz, pz)
+        if o["shape"] == "sphere":
+            # Normal points from the surface towards the center.
+            nxv = C[0] - qx
+            nyv = C[1] - qy
+            nzv = C[2] - qz
+            inv = jax.lax.rsqrt(jnp.maximum(
+                nxv * nxv + nyv * nyv + nzv * nzv, 1e-30))
+            nxv, nyv, nzv = nxv * inv, nyv * inv, nzv * inv
+        elif o["shape"] == "cylinder":
+            # Normal from the surface towards the axis.
+            tcx, tcy, tcz = C[0] - qx, C[1] - qy, C[2] - qz
+            along = tcx * ax[0] + tcy * ax[1] + tcz * ax[2]
+            nxv = tcx - along * ax[0]
+            nyv = tcy - along * ax[1]
+            nzv = tcz - along * ax[2]
+            inv = jax.lax.rsqrt(jnp.maximum(
+                nxv * nxv + nyv * nyv + nzv * nzv, 1e-30))
+            nxv, nyv, nzv = nxv * inv, nyv * inv, nzv * inv
+        elif o["shape"] == "torus":
+            # Project the hit onto the torus axis circle; normal points
+            # from the tube center to the hit (global frame).
+            ptx, pty, ptz = qx - C[0], qy - C[1], qz - C[2]
+            yax = o["by"]
+            d_y = ptx * yax[0] + pty * yax[1] + ptz * yax[2]
+            plx = ptx - d_y * yax[0]
+            ply = pty - d_y * yax[1]
+            plz = ptz - d_y * yax[2]
+            inv = jax.lax.rsqrt(jnp.maximum(
+                plx * plx + ply * ply + plz * plz, 1e-30))
+            nxv = ptx - r_maj * plx * inv
+            nyv = pty - r_maj * ply * inv
+            nzv = ptz - r_maj * plz * inv
+            inv = jax.lax.rsqrt(jnp.maximum(
+                nxv * nxv + nyv * nyv + nzv * nzv, 1e-30))
+            nxv, nyv, nzv = nxv * inv, nyv * inv, nzv * inv
+
+        rx, ry, rz = qx - p0[0], qy - p0[1], qz - p0[2]
+        bxr, byr = o["bx"], o["by"]
+        lxv = rx * bxr[0] + ry * bxr[1] + rz * bxr[2]
+        lyv = rx * byr[0] + ry * byr[1] + rz * byr[2]
+
+        mask = m_int
+        if o["check_size"]:
+            if o["xsize"]:
+                mask = mask & (jnp.abs(lxv) < o["xsize"] / 2.0)
+            if o["ysize"]:
+                mask = mask & (jnp.abs(lyv) < o["ysize"] / 2.0)
+            if o["zsize"]:
+                lzv = rx * bz[0] + ry * bz[1] + rz * bz[2]
+                mask = mask & (jnp.abs(lzv) < o["zsize"] / 2.0)
+        # Aperture logic mirrors ops/aperture.py exactly: m_in is the
+        # incoming (bounds) mask, m_out the running logic value; updates
+        # apply only inside m_in. Boolean selects are written as logical
+        # ops — Mosaic has no i1 select lowering.
+        m_in = mask
+        m_out = m_in
+        for ap in o["apertures"]:
+            ax = lxv - ap["ox"]
+            ay = lyv - ap["oy"]
+            shape = ap["shape"]
+            if shape == "none":
+                m_test = m_in
+            elif shape == "circle":
+                r = ap["size"][0]
+                m_test = (ax * ax + ay * ay < r * r) & m_in
+            elif shape == "square":
+                s = ap["size"][0] / 2.0
+                m_test = (jnp.abs(ax) < s) & (jnp.abs(ay) < s) & m_in
+            elif shape == "rectangle":
+                m_test = ((jnp.abs(ax) < ap["size"][0] / 2.0)
+                          & (jnp.abs(ay) < ap["size"][1] / 2.0) & m_in)
+            else:  # ellipse
+                sx_, sy_ = ap["size"][0], ap["size"][1]
+                m_test = ((ax / sx_) ** 2 + (ay / sy_) ** 2 < 1.0) & m_in
+            logic = ap["logic"]
+            if logic == "and":
+                new = m_out & m_test
+            elif logic == "not":
+                new = m_out & ~m_test
+            elif logic == "or":
+                new = m_out | m_test
+            elif logic == "nand":
+                new = ~(m_out & m_test)
+            elif logic == "nor":
+                new = ~(m_out | m_test)
+            elif logic == "xor":
+                new = m_out ^ m_test
+            else:  # xnor
+                new = ~(m_out ^ m_test)
+            m_out = (m_in & new) | (~m_in & m_out)
+        mask = m_out & m_in
+
+        # ---- interaction -------------------------------------------
+        if o["interact"] == "crystal":
+            rk = o["rocking"]
+            dot = dx * nxv + dy * nyv + dz * nzv
+            adot = jnp.abs(dot)
+            # Exact sine of (incident - bragg); asin via cubic term
+            # (|delta| < pi/2 always, so sin is monotone: no spurious
+            # zeros at any Bragg angle).
+            cosi = jnp.sqrt(jnp.maximum(1.0 - adot * adot, 0.0))
+            if wl is None:
+                sin_b, cos_b = rk["sin_b"], rk["cos_b"]
+            else:
+                sin_b = jnp.clip(wl * rk["inv_2d"], 0.0, 1.0)
+                cos_b = jnp.sqrt(jnp.maximum(1.0 - sin_b * sin_b, 0.0))
+            sd = adot * cos_b - cosi * sin_b
+            delta = sd + sd * sd * sd * (1.0 / 6.0)
+            if rk["type"] == "gaussian":
+                sigma = rk["fwhm"] / (2.0 * math.sqrt(2.0 * math.log(2.0)))
+                prob = rk["reflectivity"] * jnp.exp(
+                    -0.5 * (delta / sigma) ** 2
+                )
+            else:  # step
+                prob = jnp.where(
+                    jnp.abs(delta) <= rk["fwhm"] / 2.0,
+                    rk["reflectivity"], 0.0,
+                )
+            uacc = draw()
+            mask = mask & (prob >= uacc)
+            kk = 2.0 * dot
+            dx = jnp.where(mask, dx - kk * nxv, dx)
+            dy = jnp.where(mask, dy - kk * nyv, dy)
+            dz = jnp.where(mask, dz - kk * nzv, dz)
+        elif o["interact"] == "mosaic":
+            rk = o["rocking"]
+            mz = o["mosaic"]
+            if wl is None:
+                sin_b, cos_b = rk["sin_b"], rk["cos_b"]
+            else:
+                sin_b = jnp.clip(wl * rk["inv_2d"], 0.0, 1.0)
+                cos_b = jnp.sqrt(jnp.maximum(1.0 - sin_b * sin_b, 0.0))
+            if mz["cutoff_angle"] is not None:
+                dot0 = dx * nxv + dy * nyv + dz * nzv
+                adot0 = jnp.abs(dot0)
+                cosi0 = jnp.sqrt(jnp.maximum(1.0 - adot0 * adot0, 0.0))
+                sd0 = adot0 * cos_b - cosi0 * sin_b
+                d0 = sd0 + sd0 * sd0 * sd0 * (1.0 / 6.0)
+                mask = mask & (jnp.abs(d0) < mz["cutoff_angle"])
+            # Per-ray crystallite basis around the macroscopic normal:
+            # o1 = cross(n, e1+e3) with hint e1=(1,0,0), e3=(0,0,1)
+            # (interactions.py mosaic_normals); constant across layers.
+            o1x_, o1y_, o1z_ = nyv, nzv - nxv, -nyv
+            inv = jax.lax.rsqrt(jnp.maximum(
+                o1x_ * o1x_ + o1y_ * o1y_ + o1z_ * o1z_, 1e-30))
+            o1x_, o1y_, o1z_ = o1x_ * inv, o1y_ * inv, o1z_ * inv
+            o2x_ = nyv * o1z_ - nzv * o1y_
+            o2y_ = nzv * o1x_ - nxv * o1z_
+            o2z_ = nxv * o1y_ - nyv * o1x_
+            inv = jax.lax.rsqrt(jnp.maximum(
+                o2x_ * o2x_ + o2y_ * o2y_ + o2z_ * o2z_, 1e-30))
+            o2x_, o2y_, o2z_ = o2x_ * inv, o2y_ * inv, o2z_ * inv
+            refl = jnp.zeros_like(mask)
+            if rk["type"] == "gaussian":
+                sigma_r = rk["fwhm"] / (2.0 * math.sqrt(
+                    2.0 * math.log(2.0)))
+            for _layer in range(mz["depth"]):
+                gx = mz["sigma_n"] * normal_draw()
+                gy = mz["sigma_n"] * normal_draw()
+                wn = jax.lax.rsqrt(1.0 + gx * gx + gy * gy)
+                nmx = gx * wn * o2x_ + gy * wn * o1x_ + wn * nxv
+                nmy = gx * wn * o2y_ + gy * wn * o1y_ + wn * nyv
+                nmz = gx * wn * o2z_ + gy * wn * o1z_ + wn * nzv
+                dotm = dx * nmx + dy * nmy + dz * nmz
+                adot = jnp.abs(dotm)
+                cosi = jnp.sqrt(jnp.maximum(1.0 - adot * adot, 0.0))
+                sd = adot * cos_b - cosi * sin_b
+                delta = sd + sd * sd * sd * (1.0 / 6.0)
+                if rk["type"] == "gaussian":
+                    prob = rk["reflectivity"] * jnp.exp(
+                        -0.5 * (delta / sigma_r) ** 2)
+                else:
+                    prob = jnp.where(
+                        jnp.abs(delta) <= rk["fwhm"] / 2.0,
+                        rk["reflectivity"], 0.0)
+                u = draw()
+                accept = mask & ~refl & (prob >= u)
+                kk = 2.0 * dotm
+                dx = jnp.where(accept, dx - kk * nmx, dx)
+                dy = jnp.where(accept, dy - kk * nmy, dy)
+                dz = jnp.where(accept, dz - kk * nmz, dz)
+                refl = refl | accept
+            mask = mask & refl
+        elif o["interact"] == "mirror":
+            kk = 2.0 * (dx * nxv + dy * nyv + dz * nzv)
+            dx = jnp.where(mask, dx - kk * nxv, dx)
+            dy = jnp.where(mask, dy - kk * nyv, dy)
+            dz = jnp.where(mask, dz - kk * nzv, dz)
+
+        px, py, pz = qx, qy, qz
+        alive = mask
+        if keep_meta:
+            count_into(1 + ei, alive)
+
+        # ---- image accumulation ------------------------------------
+        if o["image"] and keep_images:
+            im = o["image"]
+            fx = lxv * (1.0 / im["ps"]) + (im["nx"] - 1) / 2.0
+            fy = lyv * (1.0 / im["ps"]) + (im["ny"] - 1) / 2.0
+            # round-half-to-even, same as the XLA/pallas binning paths
+            # (binning.py:36, pallas_binning.py:81) and the reference's
+            # np.round (_TraceObject.py:274) — midpoint hits bin
+            # identically across engines.
+            ix = jnp.round(fx).astype(jnp.int32)
+            iy = jnp.round(fy).astype(jnp.int32)
+            ok = (alive & (ix >= 0) & (ix < im["nx"])
+                  & (iy >= 0) & (iy < im["ny"]))
+            ix = jnp.where(ok, ix, -1)
+            iy = jnp.where(ok, iy, -1)
+            # One-hot factorized histogram on the MXU. Layout is the
+            # whole trick: bins go on SUBLANES (broadcast over a major
+            # dim is free) and rays stay on LANES, contracted via
+            # A @ B^T. The transposed-image accumulator (nx sublanes,
+            # ny lanes) then needs no relayout. Bins-on-lanes
+            # (ix[:, :, None] == lane-iota) costs a per-element lane
+            # splat; measured v5e: 9.7 us -> 1.06 us per 8192-ray chunk
+            # per image (22 -> 205 TFLOP/s, MXU speed-of-light).
+            xb = jax.lax.broadcasted_iota(
+                jnp.int32, (im["nx_pad"], sub), 0)
+            yb = jax.lax.broadcasted_iota(
+                jnp.int32, (im["ny_pad"], sub), 0)
+            ref = image_refs[img_slot]
+            acc = jnp.zeros((im["nx_pad"], im["ny_pad"]), f32)
+            for s in range(8):
+                oxs = (ix[s][None, :] == xb).astype(jnp.bfloat16)
+                oys = (iy[s][None, :] == yb).astype(jnp.bfloat16)
+                acc += jax.lax.dot_general(
+                    oxs, oys,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=f32,
+                )
+            ref[:] += acc
+            img_slot += 1
+
+
 def build_fused_run(pipeline, num_iter: int | None = None,
-                    chunk: int = 16384, interpret: bool = False,
+                    chunk: int = 8192, interpret: bool = False,
                     rng: str | None = None):
     """Compile the pipeline into one Pallas kernel.
 
@@ -563,298 +944,10 @@ def build_fused_run(pipeline, num_iter: int | None = None,
         if keep_meta:
             count_into(0, alive)
 
-        # ---- optic chain ------------------------------------------------
-        img_slot = 0
-        for ei, o in enumerate(optics):
-            p0 = o["origin"]
-            bz = o["bz"]
-            if o["shape"] == "plane":
-                denom = dx * bz[0] + dy * bz[1] + dz * bz[2]
-                numer = ((p0[0] - px) * bz[0] + (p0[1] - py) * bz[1]
-                         + (p0[2] - pz) * bz[2])
-                safe = jnp.where(jnp.abs(denom) > 1e-30, denom, 1e-30)
-                t = numer / safe
-                m_int = alive & (t >= 0.0) & (jnp.abs(denom) > 1e-30)
-                nxv = jnp.full((8, sub), bz[0], f32)
-                nyv = jnp.full((8, sub), bz[1], f32)
-                nzv = jnp.full((8, sub), bz[2], f32)
-            elif o["shape"] == "sphere":  # cf. optics/shapes.py ShapeSphere
-                sign = -1.0 if o["convex"] else 1.0
-                radius = o["radius"]
-                C = (p0[0] + sign * radius * bz[0],
-                     p0[1] + sign * radius * bz[1],
-                     p0[2] + sign * radius * bz[2])
-                Lx, Ly, Lz = C[0] - px, C[1] - py, C[2] - pz
-                t_ca = Lx * dx + Ly * dy + Lz * dz
-                d2 = Lx * Lx + Ly * Ly + Lz * Lz - t_ca * t_ca
-                r2 = radius * radius
-                m_int = alive & (d2 <= r2)
-                t_hc = jnp.sqrt(jnp.maximum(r2 - d2, 0.0))
-                t = t_ca + (-t_hc if o["convex"] else t_hc)
-            elif o["shape"] == "cylinder":
-                # Axis along the local xaxis (optics/shapes.py ShapeCylinder).
-                sign = -1.0 if o["convex"] else 1.0
-                radius = o["radius"]
-                ax = o["bx"]
-                C = (p0[0] + sign * radius * bz[0],
-                     p0[1] + sign * radius * bz[1],
-                     p0[2] + sign * radius * bz[2])
-                dpx, dpy, dpz = px - C[0], py - C[1], pz - C[2]
-                d_ax = dx * ax[0] + dy * ax[1] + dz * ax[2]
-                p_ax = dpx * ax[0] + dpy * ax[1] + dpz * ax[2]
-                A1x, A1y, A1z = (dx - d_ax * ax[0], dy - d_ax * ax[1],
-                                 dz - d_ax * ax[2])
-                B1x, B1y, B1z = (dpx - p_ax * ax[0], dpy - p_ax * ax[1],
-                                 dpz - p_ax * ax[2])
-                qa = A1x * A1x + A1y * A1y + A1z * A1z
-                qb = 2.0 * (A1x * B1x + A1y * B1y + A1z * B1z)
-                qc = B1x * B1x + B1y * B1y + B1z * B1z - radius * radius
-                disc = qb * qb - 4.0 * qa * qc
-                m_int = alive & (disc >= 0.0)
-                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-                sgn = jnp.where(qb >= 0.0, 1.0, -1.0)
-                qq = -0.5 * (qb + sgn * sq)
-                t0_ = qq / jnp.where(jnp.abs(qa) > 1e-30, qa, 1e-30)
-                t1_ = qc / jnp.where(jnp.abs(qq) > 1e-30, qq, 1e-30)
-                t1_ = jnp.where(jnp.abs(qq) > 1e-30, t1_, t0_)
-                t = (jnp.minimum(t0_, t1_) if o["convex"]
-                     else jnp.maximum(t0_, t1_))
-                t = jnp.where(m_int, t, 0.0)
-            else:  # torus (optics/shapes.py ShapeTorus; kernel-safe quartic)
-                from xicsrt_tpu.ops.polynomials import (
-                    acos_kernel, solve_quartic_unsorted,
-                )
-
-                r_min = o["radius_minor"]
-                r_maj = o["radius_major"] + o["major_adjust"] * r_min
-                C = (p0[0] + o["center_sign"] * o["radius_major"] * bz[0],
-                     p0[1] + o["center_sign"] * o["radius_major"] * bz[1],
-                     p0[2] + o["center_sign"] * o["radius_major"] * bz[2])
-                bxr_, byr_ = o["bx"], o["by"]
-                # Torus-centered local coordinates (torus axis = local y).
-                rx_, ry_, rz_ = px - C[0], py - C[1], pz - C[2]
-                Olx = rx_ * bxr_[0] + ry_ * bxr_[1] + rz_ * bxr_[2]
-                Oly = rx_ * byr_[0] + ry_ * byr_[1] + rz_ * byr_[2]
-                Olz = rx_ * bz[0] + ry_ * bz[1] + rz_ * bz[2]
-                Dlx = dx * bxr_[0] + dy * bxr_[1] + dz * bxr_[2]
-                Dly = dx * byr_[0] + dy * byr_[1] + dz * byr_[2]
-                Dlz = dx * bz[0] + dy * bz[1] + dz * bz[2]
-                # Shift to the closest approach: conditions the f32 quartic.
-                t_shift = -(Olx * Dlx + Oly * Dly + Olz * Dlz)
-                Olx = Olx + t_shift * Dlx
-                Oly = Oly + t_shift * Dly
-                Olz = Olz + t_shift * Dlz
-                o2_ = Olx * Olx + Oly * Oly + Olz * Olz
-                od_ = Olx * Dlx + Oly * Dly + Olz * Dlz
-                r2_ = r_maj * r_maj + r_min * r_min
-                c0_ = jnp.ones_like(o2_)
-                c1_ = 4.0 * od_
-                c2_ = (4.0 * od_ * od_ + 2.0 * o2_ - 2.0 * r2_
-                       + 4.0 * r_maj**2 * Dly * Dly)
-                c3_ = 4.0 * od_ * (o2_ - r2_) + 8.0 * r_maj**2 * Dly * Oly
-                c4_ = (o2_ * o2_ - 2.0 * r2_ * o2_
-                       + 4.0 * r_maj**2 * Oly * Oly
-                       + (r_maj**2 - r_min**2) ** 2)
-                roots = solve_quartic_unsorted(
-                    c0_, c1_, c2_, c3_, c4_, acos=acos_kernel)
-                # Root selection: positive real hit with minimal |local z|
-                # (the optic patch containing the frame origin) — same rule
-                # as the XLA path.
-                z0_ = ((px - p0[0]) * bz[0] + (py - p0[1]) * bz[1]
-                       + (pz - p0[2]) * bz[2])
-                zd_ = Dlz
-                t = jnp.zeros_like(o2_)
-                best = jnp.full_like(o2_, 3.4e38)
-                any_valid = jnp.zeros_like(o2_, dtype=jnp.bool_)
-                for rroot in roots:
-                    cand = rroot + t_shift
-                    # NaN-safe: NaN fails both comparisons.
-                    v_ = (cand > 1e-6) & (cand < 3.4e38) & (cand == cand)
-                    score = jnp.where(v_, jnp.abs(z0_ + cand * zd_), 3.4e38)
-                    better = score < best
-                    best = jnp.where(better, score, best)
-                    t = jnp.where(better, cand, t)
-                    any_valid = any_valid | v_
-                m_int = alive & any_valid
-                t = jnp.where(m_int, t, 0.0)
-
-            qx = jnp.where(m_int, px + t * dx, px)
-            qy = jnp.where(m_int, py + t * dy, py)
-            qz = jnp.where(m_int, pz + t * dz, pz)
-            if o["shape"] == "sphere":
-                # Normal points from the surface towards the center.
-                nxv = C[0] - qx
-                nyv = C[1] - qy
-                nzv = C[2] - qz
-                inv = jax.lax.rsqrt(jnp.maximum(
-                    nxv * nxv + nyv * nyv + nzv * nzv, 1e-30))
-                nxv, nyv, nzv = nxv * inv, nyv * inv, nzv * inv
-            elif o["shape"] == "cylinder":
-                # Normal from the surface towards the axis.
-                tcx, tcy, tcz = C[0] - qx, C[1] - qy, C[2] - qz
-                along = tcx * ax[0] + tcy * ax[1] + tcz * ax[2]
-                nxv = tcx - along * ax[0]
-                nyv = tcy - along * ax[1]
-                nzv = tcz - along * ax[2]
-                inv = jax.lax.rsqrt(jnp.maximum(
-                    nxv * nxv + nyv * nyv + nzv * nzv, 1e-30))
-                nxv, nyv, nzv = nxv * inv, nyv * inv, nzv * inv
-            elif o["shape"] == "torus":
-                # Project the hit onto the torus axis circle; normal points
-                # from the tube center to the hit (global frame).
-                ptx, pty, ptz = qx - C[0], qy - C[1], qz - C[2]
-                yax = o["by"]
-                d_y = ptx * yax[0] + pty * yax[1] + ptz * yax[2]
-                plx = ptx - d_y * yax[0]
-                ply = pty - d_y * yax[1]
-                plz = ptz - d_y * yax[2]
-                inv = jax.lax.rsqrt(jnp.maximum(
-                    plx * plx + ply * ply + plz * plz, 1e-30))
-                nxv = ptx - r_maj * plx * inv
-                nyv = pty - r_maj * ply * inv
-                nzv = ptz - r_maj * plz * inv
-                inv = jax.lax.rsqrt(jnp.maximum(
-                    nxv * nxv + nyv * nyv + nzv * nzv, 1e-30))
-                nxv, nyv, nzv = nxv * inv, nyv * inv, nzv * inv
-
-            rx, ry, rz = qx - p0[0], qy - p0[1], qz - p0[2]
-            bxr, byr = o["bx"], o["by"]
-            lxv = rx * bxr[0] + ry * bxr[1] + rz * bxr[2]
-            lyv = rx * byr[0] + ry * byr[1] + rz * byr[2]
-
-            mask = m_int
-            if o["check_size"]:
-                if o["xsize"]:
-                    mask = mask & (jnp.abs(lxv) < o["xsize"] / 2.0)
-                if o["ysize"]:
-                    mask = mask & (jnp.abs(lyv) < o["ysize"] / 2.0)
-                if o["zsize"]:
-                    lzv = rx * bz[0] + ry * bz[1] + rz * bz[2]
-                    mask = mask & (jnp.abs(lzv) < o["zsize"] / 2.0)
-            # Aperture logic mirrors ops/aperture.py exactly: m_in is the
-            # incoming (bounds) mask, m_out the running logic value; updates
-            # apply only inside m_in. Boolean selects are written as logical
-            # ops — Mosaic has no i1 select lowering.
-            m_in = mask
-            m_out = m_in
-            for ap in o["apertures"]:
-                ax = lxv - ap["ox"]
-                ay = lyv - ap["oy"]
-                shape = ap["shape"]
-                if shape == "none":
-                    m_test = m_in
-                elif shape == "circle":
-                    r = ap["size"][0]
-                    m_test = (ax * ax + ay * ay < r * r) & m_in
-                elif shape == "square":
-                    s = ap["size"][0] / 2.0
-                    m_test = (jnp.abs(ax) < s) & (jnp.abs(ay) < s) & m_in
-                elif shape == "rectangle":
-                    m_test = ((jnp.abs(ax) < ap["size"][0] / 2.0)
-                              & (jnp.abs(ay) < ap["size"][1] / 2.0) & m_in)
-                else:  # ellipse
-                    sx_, sy_ = ap["size"][0], ap["size"][1]
-                    m_test = ((ax / sx_) ** 2 + (ay / sy_) ** 2 < 1.0) & m_in
-                logic = ap["logic"]
-                if logic == "and":
-                    new = m_out & m_test
-                elif logic == "not":
-                    new = m_out & ~m_test
-                elif logic == "or":
-                    new = m_out | m_test
-                elif logic == "nand":
-                    new = ~(m_out & m_test)
-                elif logic == "nor":
-                    new = ~(m_out | m_test)
-                elif logic == "xor":
-                    new = m_out ^ m_test
-                else:  # xnor
-                    new = ~(m_out ^ m_test)
-                m_out = (m_in & new) | (~m_in & m_out)
-            mask = m_out & m_in
-
-            # ---- interaction -------------------------------------------
-            if o["interact"] == "crystal":
-                rk = o["rocking"]
-                dot = dx * nxv + dy * nyv + dz * nzv
-                adot = jnp.abs(dot)
-                # Exact sine of (incident - bragg); asin via cubic term
-                # (|delta| < pi/2 always, so sin is monotone: no spurious
-                # zeros at any Bragg angle).
-                cosi = jnp.sqrt(jnp.maximum(1.0 - adot * adot, 0.0))
-                if wl is None:
-                    sin_b, cos_b = rk["sin_b"], rk["cos_b"]
-                else:
-                    sin_b = jnp.clip(wl * rk["inv_2d"], 0.0, 1.0)
-                    cos_b = jnp.sqrt(jnp.maximum(1.0 - sin_b * sin_b, 0.0))
-                sd = adot * cos_b - cosi * sin_b
-                delta = sd + sd * sd * sd * (1.0 / 6.0)
-                if rk["type"] == "gaussian":
-                    sigma = rk["fwhm"] / (2.0 * math.sqrt(2.0 * math.log(2.0)))
-                    prob = rk["reflectivity"] * jnp.exp(
-                        -0.5 * (delta / sigma) ** 2
-                    )
-                else:  # step
-                    prob = jnp.where(
-                        jnp.abs(delta) <= rk["fwhm"] / 2.0,
-                        rk["reflectivity"], 0.0,
-                    )
-                uacc = draw()
-                mask = mask & (prob >= uacc)
-                kk = 2.0 * dot
-                dx = jnp.where(mask, dx - kk * nxv, dx)
-                dy = jnp.where(mask, dy - kk * nyv, dy)
-                dz = jnp.where(mask, dz - kk * nzv, dz)
-            elif o["interact"] == "mirror":
-                kk = 2.0 * (dx * nxv + dy * nyv + dz * nzv)
-                dx = jnp.where(mask, dx - kk * nxv, dx)
-                dy = jnp.where(mask, dy - kk * nyv, dy)
-                dz = jnp.where(mask, dz - kk * nzv, dz)
-
-            px, py, pz = qx, qy, qz
-            alive = mask
-            if keep_meta:
-                count_into(1 + ei, alive)
-
-            # ---- image accumulation ------------------------------------
-            if o["image"] and keep_images:
-                im = o["image"]
-                fx = lxv * (1.0 / im["ps"]) + (im["nx"] - 1) / 2.0
-                fy = lyv * (1.0 / im["ps"]) + (im["ny"] - 1) / 2.0
-                # round-half-to-even, same as the XLA/pallas binning paths
-                # (binning.py:36, pallas_binning.py:81) and the reference's
-                # np.round (_TraceObject.py:274) — midpoint hits bin
-                # identically across engines.
-                ix = jnp.round(fx).astype(jnp.int32)
-                iy = jnp.round(fy).astype(jnp.int32)
-                ok = (alive & (ix >= 0) & (ix < im["nx"])
-                      & (iy >= 0) & (iy < im["ny"]))
-                ix = jnp.where(ok, ix, -1)
-                iy = jnp.where(ok, iy, -1)
-                # One-hot factorized histogram on the MXU. Layout is the
-                # whole trick: bins go on SUBLANES (broadcast over a major
-                # dim is free) and rays stay on LANES, contracted via
-                # A @ B^T. The transposed-image accumulator (nx sublanes,
-                # ny lanes) then needs no relayout. Bins-on-lanes
-                # (ix[:, :, None] == lane-iota) costs a per-element lane
-                # splat; measured v5e: 9.7 us -> 1.06 us per 8192-ray chunk
-                # per image (22 -> 205 TFLOP/s, MXU speed-of-light).
-                xb = jax.lax.broadcasted_iota(
-                    jnp.int32, (im["nx_pad"], sub), 0)
-                yb = jax.lax.broadcasted_iota(
-                    jnp.int32, (im["ny_pad"], sub), 0)
-                ref = image_refs[img_slot]
-                acc = jnp.zeros((im["nx_pad"], im["ny_pad"]), f32)
-                for s in range(8):
-                    oxs = (ix[s][None, :] == xb).astype(jnp.bfloat16)
-                    oys = (iy[s][None, :] == yb).astype(jnp.bfloat16)
-                    acc += jax.lax.dot_general(
-                        oxs, oys,
-                        dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=f32,
-                    )
-                ref[:] += acc
-                img_slot += 1
+        # ---- optic chain (shared with the trace-only kernel) -----------
+        _trace_chain(optics, sub, keep_meta, keep_images, draw,
+                     count_into, image_refs, px, py, pz, dx, dy, dz,
+                     wl, alive)
 
     out_shapes = [jax.ShapeDtypeStruct((8, 128), jnp.int32)]
     out_specs = [pl.BlockSpec((8, 128), lambda i: (0, 0),
@@ -927,3 +1020,209 @@ def build_fused_run(pipeline, num_iter: int | None = None,
         return {"meta": meta, "image": image, "history": {}}
 
     return run
+
+
+def build_fused_trace_run(pipeline, num_iter: int | None = None,
+                          chunk: int = 8192, interpret: bool = False,
+                          rng: str | None = None):
+    """Hybrid fast path: XLA ray generation + fused Pallas trace kernel.
+
+    Sources outside the megakernel subset (plasma bundles, filtered or
+    asymmetric sources) generate rays with the general XLA ``generate``
+    into HBM; this kernel then streams ray chunks through the SAME shared
+    optic chain (``_trace_chain``) with zero intermediate HBM traffic. The
+    stream costs ~32 B/ray of HBM reads — a ~1e10 rays/s roof at v5e
+    bandwidth, far above the XLA engine's fusion-boundary-limited ~6e8.
+
+    Geometry is baked in at build; generation parameters are captured from
+    ``pipeline.params``. Returns ``run(key)`` like :func:`build_fused_run`.
+    """
+    g = pipeline.general
+    if str(g.get("interact_mode", "mc")).lower() != "mc":
+        raise FusedUnsupported("interact_mode != 'mc'")
+    if str(g.get("image_mode", "nearest")).lower() != "nearest":
+        raise FusedUnsupported("image_mode != 'nearest'")
+    if str(g.get("dtype", "float32")).lower() not in ("float32", "f32"):
+        raise FusedUnsupported("dtype != float32")
+
+    optics = [_optic_spec(o, 0.0, True) for o in pipeline.optics]
+    if num_iter is None:
+        num_iter = int(g["number_of_iter"])
+    N = pipeline.num_rays  # static per-iteration budget
+    if N * num_iter >= 2**31:
+        raise FusedUnsupported("ray count overflows int32 indexing")
+    n_chunks = -(-N // chunk)
+    n_pad = n_chunks * chunk
+    sub = chunk // 8
+    if chunk % (8 * 128) != 0:
+        raise ValueError("chunk must be a multiple of 1024")
+
+    images = [(i, o["image"]) for i, o in enumerate(optics) if o["image"]]
+    keep_meta = bool(g.get("keep_meta", True))
+    keep_images = bool(g.get("keep_images", True))
+    if not keep_images:
+        images = []
+    if rng is None:
+        rng = "input" if interpret else "hw"
+    n_draws = sum(o.get("n_draws", 0) for o in optics)
+
+    f32 = jnp.float32
+
+    def kernel(seed_ref, *refs):
+        ray_refs = refs[:8]
+        rest = refs[8:]
+        if rng == "input" and n_draws > 0:
+            rng_ref, counts_ref, *image_refs = rest
+        else:
+            counts_ref, *image_refs = rest
+        step = pl.program_id(0)
+
+        @pl.when(step == 0)
+        def _init():
+            counts_ref[:] = jnp.zeros_like(counts_ref)
+            for ref in image_refs:
+                ref[:] = jnp.zeros_like(ref)
+
+        if rng == "hw":
+            pltpu.prng_seed(seed_ref[0], seed_ref[1] + step * (-1640531535))
+
+        draw_slot = [0]
+
+        def draw():
+            if rng == "input":
+                k = draw_slot[0]
+                draw_slot[0] += 1
+                return rng_ref[k]
+            bits = pltpu.bitcast(
+                pltpu.prng_random_bits((8, sub)), jnp.int32
+            )
+            return (bits & 0x00FFFFFF).astype(f32) * (1.0 / (1 << 24))
+
+        def count_into(elem, alive):
+            c = jnp.sum(alive.astype(jnp.int32))
+            crow = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+            ccol = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+            sel = ((crow == 0) & (ccol == elem)).astype(jnp.int32)
+            counts_ref[:] += c * sel
+
+        px, py, pz = ray_refs[0][:], ray_refs[1][:], ray_refs[2][:]
+        dx, dy, dz = ray_refs[3][:], ray_refs[4][:], ray_refs[5][:]
+        wl = ray_refs[6][:]
+        alive = ray_refs[7][:] != 0
+        if keep_meta:
+            count_into(0, alive)
+        _trace_chain(optics, sub, keep_meta, keep_images, draw,
+                     count_into, image_refs, px, py, pz, dx, dy, dz,
+                     wl, alive)
+
+    out_shapes = [jax.ShapeDtypeStruct((8, 128), jnp.int32)]
+    out_specs = [pl.BlockSpec((8, 128), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)]
+    for _, im in images:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((im["nx_pad"], im["ny_pad"]), f32)
+        )
+        out_specs.append(
+            pl.BlockSpec((im["nx_pad"], im["ny_pad"]), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+
+    ray_spec = pl.BlockSpec((None, 8, sub), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + [ray_spec] * 8
+    if rng == "input" and n_draws > 0:
+        in_specs.append(
+            pl.BlockSpec((None, n_draws, 8, sub), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_chunks,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=(
+            (True if rng == "input" else pltpu.InterpretParams())
+            if interpret else False
+        ),
+    )
+
+    element_names = pipeline.element_names
+    image_names = [optics[i]["name"] for i, _ in images]
+    image_dims = [(im["nx"], im["ny"]) for _, im in images]
+    generate = pipeline.generate
+    source_name = pipeline.source.name
+    params = pipeline.params
+
+    def one_iteration(k):
+        k_src, k_kernel = jax.random.split(k)
+        rays = generate(params["sources"][source_name], params["filters"],
+                        k_src)
+
+        def flat(a, fill=0):
+            a = jnp.pad(a, (0, n_pad - N), constant_values=fill)
+            return a.reshape(n_chunks, 8, sub)
+
+        args = [
+            flat(rays.origin[:, 0]), flat(rays.origin[:, 1]),
+            flat(rays.origin[:, 2]),
+            flat(rays.direction[:, 0]), flat(rays.direction[:, 1]),
+            flat(rays.direction[:, 2]),
+            flat(rays.wavelength),
+            flat(rays.mask.astype(jnp.int32)),
+        ]
+        seed = jax.random.randint(
+            k_kernel, (2,), 0, np.iinfo(np.int32).max, dtype=jnp.int32
+        )
+        if rng == "input" and n_draws > 0:
+            uniforms = jax.random.uniform(
+                k_kernel, (n_chunks, n_draws, 8, sub), dtype=f32
+            )
+            return call(seed, *args, uniforms)
+        return call(seed, *args)
+
+    @jax.jit
+    def run(key):
+        keys = jax.random.split(key, num_iter)
+        outs = one_iteration(keys[0])
+        if num_iter > 1:
+            def body(carry, k):
+                new = one_iteration(k)
+                return tuple(c + n for c, n in zip(carry, new)), None
+
+            outs, _ = jax.lax.scan(body, tuple(outs), keys[1:])
+        counts, *imgs = outs
+        meta = (
+            {name: counts[0, i] for i, name in enumerate(element_names)}
+            if keep_meta else {}
+        )
+        image = {
+            name: img[:nx, :ny]
+            for name, (nx, ny), img in zip(image_names, image_dims, imgs)
+        }
+        return {"meta": meta, "image": image, "history": {}}
+
+    return run
+
+
+def build_fast_run(pipeline, num_iter: int | None = None,
+                   interpret: bool = False, chunk: int | None = None):
+    """Fastest applicable Pallas path for a pipeline.
+
+    Tries the single-megakernel engine first (zero HBM traffic), falling
+    back to the hybrid XLA-generate + fused-trace kernel when only the
+    SOURCE is outside the megakernel subset. Raises ``FusedUnsupported``
+    when the optic chain itself is unsupported (mesh shapes, file rocking).
+
+    Returns ``(run, kind)`` with kind in {"fused", "fused_trace"}.
+    """
+    kwargs = {} if chunk is None else {"chunk": chunk}
+    try:
+        return (build_fused_run(pipeline, num_iter=num_iter,
+                                interpret=interpret, **kwargs), "fused")
+    except FusedUnsupported:
+        pass
+    return (build_fused_trace_run(pipeline, num_iter=num_iter,
+                                  interpret=interpret, **kwargs),
+            "fused_trace")

@@ -168,11 +168,11 @@ def make_sharded_run(config: dict, num_iter: int | None = None,
 
     if engine in ("fused", "auto") and not keep_history:
         from xicsrt_tpu.ops.fused_trace import (
-            FusedUnsupported, build_fused_run,
+            FusedUnsupported, build_fast_run,
         )
 
         try:
-            fused = build_fused_run(
+            fused, _kind = build_fast_run(
                 pipeline, num_iter=num_iter,
                 interpret=jax.default_backend() != "tpu",
             )
