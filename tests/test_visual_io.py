@@ -205,6 +205,86 @@ class TestPlotlist:
         with pytest.raises(ValueError):
             plot_to_screen([{"type": "nope", "x": [1], "y": [1]}])
 
+    def test_ipyvolume_backend(self, monkeypatch, tmp_path):
+        """The ipyvolume renderer drives the widget API (stubbed here —
+        the package is optional; cf. xicsrt_3d__ipyvolume.py:37-366)."""
+        import sys
+        import types
+
+        calls = []
+        stub = types.ModuleType("ipyvolume")
+        for fn in ("figure", "plot", "scatter", "plot_trisurf",
+                   "xlim", "ylim", "zlim", "save", "show"):
+            stub.__dict__[fn] = (
+                lambda *a, _fn=fn, **k: calls.append(_fn) or object()
+            )
+        monkeypatch.setitem(sys.modules, "ipyvolume", stub)
+
+        from xicsrt_tpu.visual import plot3d
+
+        scene = plot3d.figure(backend="ipyvolume")
+        scene.add_line_segments(np.zeros((4, 2, 3)) + np.arange(3))
+        scene.add_points(np.ones((5, 3)))
+        scene.add_mesh(np.random.default_rng(0).normal(size=(6, 3)),
+                       np.array([[0, 1, 2], [2, 3, 4]]))
+        scene.show(filename=str(tmp_path / "scene.html"))
+        for fn in ("figure", "plot", "scatter", "plot_trisurf", "save"):
+            assert fn in calls, calls
+        assert "show" not in calls  # saved, not displayed
+
+    def test_ipyvolume_backend_missing_raises(self, monkeypatch):
+        import builtins
+        import sys
+
+        real_import = builtins.__import__
+
+        def block(name, *args, **kwargs):
+            if name == "ipyvolume":
+                raise ImportError("no module")
+            return real_import(name, *args, **kwargs)
+
+        monkeypatch.delitem(sys.modules, "ipyvolume", raising=False)
+        monkeypatch.setattr(builtins, "__import__", block)
+        from xicsrt_tpu.visual import plot3d
+
+        scene = plot3d.figure(backend="ipyvolume")
+        scene.add_points(np.ones((2, 3)))
+        with pytest.raises(ImportError, match="ipyvolume"):
+            scene.show()
+
+    def test_plotlist_named_axes_spans_figure_items(self, tmp_path):
+        """Named axes, span/line/fill items, legend options, figure
+        suptitle and plot_to_file (ref mirplot named-axes + _apply_*_prop
+        mechanics)."""
+        from xicsrt_tpu.utils.plotlist import plot_to_file
+
+        x = np.linspace(0, 1, 20)
+        plotlist = [
+            {"type": "figure", "suptitle": "Diagnostics"},
+            {"type": "line", "y": x**2, "axes": "upper", "label": "sq",
+             "linewidth": 3.0},
+            {"type": "hline", "y": 0.5, "axes": "upper", "color": "red"},
+            {"type": "vspan", "x": [0.2, 0.4], "axes": "upper",
+             "alpha": 0.3},
+            {"type": "fill_between", "x": x, "y": x, "y1": x**2,
+             "axes": "lower", "alpha": 0.5},
+            {"type": "axes", "axes": "lower", "xlabel": "t",
+             "legend": False},
+            {"type": "scatter", "x": x, "y": -x, "axes": "lower", "s": 9,
+             "marker": "x"},
+            {"type": "errorbar", "x": x[:5], "y": x[:5],
+             "xerr": 0.01 * np.ones(5), "yerr": 0.05 * np.ones(5),
+             "capsize": 2.0, "axes": "upper"},
+        ]
+        out = tmp_path / "named.png"
+        fig = plot_to_file(plotlist, str(out))
+        assert out.stat().st_size > 1000
+        assert set(fig.axesdict) == {"upper", "lower"}
+        assert fig.axesdict["lower"].get_xlabel() == "t"
+        # The 'upper' axes auto-legend fired; 'lower' suppressed it.
+        assert fig.axesdict["upper"].get_legend() is not None
+        assert fig.axesdict["lower"].get_legend() is None
+
     def test_color_helpers(self):
         """mircolor-equivalent gradients (ref mircolor.py:99-221)."""
         from xicsrt_tpu.utils import colors

@@ -1,9 +1,10 @@
 """3D scene rendering: ray paths and optic outlines.
 
 Equivalent of ``xicsrt/visual/xicsrt_3d__plotly.py`` /
-``xicsrt_3d__ipyvolume.py``. Uses plotly when installed, otherwise falls
-back to matplotlib's 3D axes, with the same API: ``figure`` then
-``add_rays`` / ``add_optics`` / ``add_sources``, then ``show``.
+``xicsrt_3d__ipyvolume.py``. One scene API — ``figure`` then ``add_rays``
+/ ``add_optics`` / ``add_sources``, then ``show`` — with three renderers:
+plotly (default when installed), ipyvolume (notebook widget,
+``backend='ipyvolume'``), and a matplotlib-3D fallback.
 """
 
 from __future__ import annotations
@@ -53,7 +54,51 @@ class Scene:
     def show(self, filename=None):
         if self.backend == "plotly" and HAVE_PLOTLY:
             return self._show_plotly(filename)
+        if self.backend == "ipyvolume":
+            return self._show_ipyvolume(filename)
         return self._show_matplotlib(filename)
+
+    def _show_ipyvolume(self, filename):
+        """Interactive notebook-widget renderer
+        (cf. ``xicsrt_3d__ipyvolume.py:37-366``); imported lazily so the
+        package has no hard ipyvolume dependency."""
+        try:
+            import ipyvolume as ipv
+        except ImportError as err:  # pragma: no cover - optional extra
+            raise ImportError(
+                "backend='ipyvolume' requires the ipyvolume package "
+                "(pip install ipyvolume); use backend='plotly' or "
+                "'matplotlib' otherwise."
+            ) from err
+
+        fig = ipv.figure()
+        for segments, color, name in self._lines:
+            # NaN-separated polyline batching, one widget per batch.
+            m = len(segments)
+            pts = np.full((m * 3, 3), np.nan)
+            pts[0::3] = segments[:, 0]
+            pts[1::3] = segments[:, 1]
+            ipv.plot(pts[:, 0], pts[:, 1], pts[:, 2], color=color)
+        for points, color, name in self._points:
+            ipv.scatter(points[:, 0], points[:, 1], points[:, 2],
+                        color=color, size=1.0, marker="sphere")
+        for points, faces, color, opacity, name in self._meshes:
+            ipv.plot_trisurf(points[:, 0], points[:, 1], points[:, 2],
+                             triangles=faces, color=color)
+        all_pts = np.concatenate(
+            [s.reshape(-1, 3) for s, _, _ in self._lines]
+            + [p for p, _, _ in self._points]
+            + [p for p, _, _, _, _ in self._meshes]
+        ) if (self._lines or self._points or self._meshes) else np.zeros((1, 3))
+        lo, hi = all_pts.min(axis=0), all_pts.max(axis=0)
+        ipv.xlim(float(lo[0]), float(hi[0]))
+        ipv.ylim(float(lo[1]), float(hi[1]))
+        ipv.zlim(float(lo[2]), float(hi[2]))
+        if filename:
+            ipv.save(filename)
+        else:  # pragma: no cover - notebook widget display
+            ipv.show()
+        return fig
 
     def _show_plotly(self, filename):
         fig = go.Figure()
