@@ -359,6 +359,31 @@ class TestWidenedSubset:
                 int(out_f["meta"][name]), int(out_x["meta"][name]), n)
         assert int(out_f["meta"]["detector"]) > 0
 
+    def test_file_rocking_curve(self, tmp_path):
+        """rocking_type='file' on the fused engine: the tent-matvec
+        interpolation of the resampled XOP table matches the XLA engine's
+        jnp.interp acceptance."""
+        from tests.test_coverage_extra import _write_xop_file
+
+        xop = tmp_path / "diff_pat.dat"
+        _write_xop_file(str(xop), fwhm=150e-6)
+        n = 1 << 15
+        crystal = {
+            "class_name": "XicsrtOpticSphericalCrystal",
+            "origin": [0.0, 0.0, 0.80374151],
+            "zaxis": [0.0, 0.59497864, -0.80374151],
+            "xsize": 0.2, "ysize": 0.2, "radius": 1.0,
+            "crystal_spacing": 2.45676,
+            "rocking_type": "file", "rocking_fwhm": None,
+            "rocking_file": str(xop), "rocking_filetype": "xop",
+            "rocking_mix": 0.7,
+        }
+        out_f, out_x = _run_both(self._crystal_config(n, crystal))
+        for name in ("crystal", "detector"):
+            _assert_binomial_close(
+                int(out_f["meta"][name]), int(out_x["meta"][name]), n)
+        assert int(out_f["meta"]["detector"]) > 0
+
     def test_mosaic_crystal(self):
         """Fused unrolled mosaic loop vs the XLA fori_loop mosaic."""
         n = 1 << 15

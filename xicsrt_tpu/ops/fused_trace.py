@@ -19,15 +19,18 @@ Supported subset (config ``general.engine='fused'``; build raises
   Doppler;
 - optic chain of: plane + none (apertures/detectors, circle/square/
   rectangle/ellipse aperture logic), plane/sphere/cylinder/torus + mirror
-  or + crystal with gaussian/step rocking in ``mc`` mode (torus quartic
-  solved in-kernel with a Mosaic-safe arccos), mosaic crystals (unrolled
-  static-depth crystallite loop);
+  or + crystal with gaussian/step/file rocking in ``mc`` mode (torus
+  quartic solved in-kernel with a Mosaic-safe arccos; file curves as
+  tent-weight MXU matvec interpolation of a uniformly-resampled table),
+  mosaic crystals (unrolled static-depth crystallite loop);
 - nearest-mode images, float32, no history (throughput/serving path — the
   differentiable path stays on the XLA engine).
 
-Still outside the subset: plasma/bundle sources and mesh shapes (use the
-XLA engine), file rocking curves, asymmetric-y isotropic_xy, weight mode,
-bilinear images, ray history.
+Plasma/bundle and filtered sources run on the hybrid trace-only path
+(:func:`build_fused_trace_run`): XLA generation + this optic chain.
+Still outside every fused path: mesh shapes (XLA engine), mosaic with
+file curves, asymmetric-y isotropic_xy, weight mode, bilinear images,
+ray history.
 
 Numerical notes vs the XLA engine (validated statistically in tests):
 
@@ -280,17 +283,38 @@ def _optic_spec(optic, wavelength, per_ray_wl):
             spec["interact"] = "mirror"
         else:
             rtype = str(p["rocking_type"]).lower()
-            if rtype not in ("gaussian", "step"):
+            if rtype not in ("gaussian", "step", "file"):
                 raise FusedUnsupported(f"rocking_type {rtype}")
             spacing = _f(p["crystal_spacing"])
             spec["interact"] = "crystal"
             spec["n_draws"] = 1
             spec["rocking"] = {
                 "type": rtype,
-                "fwhm": _f(p["rocking_fwhm"]),
                 "reflectivity": _f(p["reflectivity"]),
                 "inv_2d": 1.0 / (2.0 * spacing),
             }
+            if rtype == "file":
+                # Resample the sigma/pi-mixed curve onto a uniform grid:
+                # in-kernel linear interpolation becomes ONE tent-weight
+                # matvec on the MXU per sublane (no Mosaic gather needed) —
+                # the same factorization as the image binning.
+                tab = optic.rocking_table
+                mix = _f(p.get("rocking_mix", 0.5))
+                dtheta = np.asarray(tab["dtheta"], dtype=np.float64)
+                curve = (mix * np.asarray(tab["reflect_s"], np.float64)
+                         + (1.0 - mix) * np.asarray(tab["reflect_p"],
+                                                    np.float64))
+                K = int(min(2048, _round_up(max(4 * len(dtheta), 128), 128)))
+                lo, hi = float(dtheta.min()), float(dtheta.max())
+                grid = np.linspace(lo, hi, K)
+                spec["rocking"]["table"] = np.interp(
+                    grid, dtheta, curve, left=0.0, right=0.0
+                ).astype(np.float32)
+                spec["rocking"]["lo"] = lo
+                spec["rocking"]["inv_step"] = (K - 1) / (hi - lo)
+                spec["rocking"]["K"] = K
+            else:
+                spec["rocking"]["fwhm"] = _f(p["rocking_fwhm"])
             if not per_ray_wl:
                 sin_b = wavelength / (2.0 * spacing)
                 if not (0.0 < sin_b < 1.0):
@@ -301,6 +325,8 @@ def _optic_spec(optic, wavelength, per_ray_wl):
                 # Multi-layer crystallite model, unrolled to a static depth
                 # (cf. _InteractMosaicCrystal.py:53-139 and the XLA
                 # fori_loop in optics/interactions.py).
+                if rtype == "file":
+                    raise FusedUnsupported("mosaic with file rocking curve")
                 spec["interact"] = "mosaic"
                 depth = int(p["mosaic_depth"])
                 spread = _f(p["mosaic_spread"])
@@ -329,8 +355,25 @@ def _optic_spec(optic, wavelength, per_ray_wl):
 # Kernel builder.
 # ---------------------------------------------------------------------------
 
+
+def _collect_tables(optics):
+    """Pop file-rocking tables out of the specs into an input list.
+
+    Pallas kernels cannot capture array constants; each table becomes a
+    (1, K) VMEM input and the spec keeps its ``slot`` index.
+    """
+    tables = []
+    for o in optics:
+        rk = o.get("rocking")
+        if rk is not None and rk.get("type") == "file":
+            rk["slot"] = len(tables)
+            tables.append(np.asarray(rk.pop("table"))[None, :])
+    return tables
+
+
 def _trace_chain(optics, sub, keep_meta, keep_images, draw, count_into,
-                 image_refs, px, py, pz, dx, dy, dz, wl, alive):
+                 image_refs, table_refs, px, py, pz, dx, dy, dz, wl,
+                 alive):
     """Shared optic-chain body for both fused kernels (megakernel and
     trace-only): intersect -> bounds/aperture -> interact -> count ->
     image-accumulate for every optic, entirely in VMEM/registers."""
@@ -570,11 +613,36 @@ def _trace_chain(optics, sub, keep_meta, keep_images, draw, count_into,
                 prob = rk["reflectivity"] * jnp.exp(
                     -0.5 * (delta / sigma) ** 2
                 )
-            else:  # step
+            elif rk["type"] == "step":
                 prob = jnp.where(
                     jnp.abs(delta) <= rk["fwhm"] / 2.0,
                     rk["reflectivity"], 0.0,
                 )
+            else:  # file: tent-weight matvec interpolation on the MXU
+                K = rk["K"]
+                T = table_refs[rk["slot"]][:]  # (1, K) VMEM input
+                fidx = (delta - rk["lo"]) * rk["inv_step"]
+                inr = (fidx >= 0.0) & (fidx <= K - 1)
+                fidx = jnp.clip(fidx, 0.0, K - 1.0)
+                kio = jax.lax.broadcasted_iota(
+                    jnp.int32, (K, sub), 0).astype(f32)
+                rows_i = jax.lax.broadcasted_iota(jnp.int32, (8, sub), 0)
+                prob = jnp.zeros((8, sub), f32)
+                for s in range(8):
+                    # Linear interpolation == contraction with tent
+                    # weights max(0, 1 - |f - k|): one (1,K)x(K,sub)
+                    # matvec per sublane (same factorization trick as the
+                    # image binning; no Mosaic gather exists).
+                    tent = jnp.maximum(
+                        0.0, 1.0 - jnp.abs(fidx[s][None, :] - kio))
+                    val = jax.lax.dot_general(
+                        T, tent,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=f32,
+                    )  # (1, sub)
+                    prob = prob + jnp.where(
+                        rows_i == s, val[0][None, :], 0.0)
+                prob = jnp.where(inr, prob * rk["reflectivity"], 0.0)
             uacc = draw()
             mask = mask & (prob >= uacc)
             kk = 2.0 * dot
@@ -721,6 +789,7 @@ def build_fused_run(pipeline, num_iter: int | None = None,
     per_ray_wl = src["wave"][0] != "mono" or src["velocity"] is not None
     optics = [_optic_spec(o, src["wavelength"], per_ray_wl)
               for o in pipeline.optics]
+    tables = _collect_tables(optics)
     if num_iter is None:
         num_iter = int(g["number_of_iter"])
     n_total = pipeline.num_rays * num_iter
@@ -763,9 +832,11 @@ def build_fused_run(pipeline, num_iter: int | None = None,
 
     def kernel(seed_ref, *refs):
         if rng == "input":
-            rng_ref, counts_ref, *image_refs = refs
+            rng_ref, *rest = refs
         else:
-            counts_ref, *image_refs = refs
+            rest = list(refs)
+        table_refs = rest[:len(tables)]
+        counts_ref, *image_refs = rest[len(tables):]
         step = pl.program_id(0)
 
         @pl.when(step == 0)
@@ -946,8 +1017,8 @@ def build_fused_run(pipeline, num_iter: int | None = None,
 
         # ---- optic chain (shared with the trace-only kernel) -----------
         _trace_chain(optics, sub, keep_meta, keep_images, draw,
-                     count_into, image_refs, px, py, pz, dx, dy, dz,
-                     wl, alive)
+                     count_into, image_refs, table_refs, px, py, pz,
+                     dx, dy, dz, wl, alive)
 
     out_shapes = [jax.ShapeDtypeStruct((8, 128), jnp.int32)]
     out_specs = [pl.BlockSpec((8, 128), lambda i: (0, 0),
@@ -965,6 +1036,11 @@ def build_fused_run(pipeline, num_iter: int | None = None,
     if rng == "input":
         in_specs.append(
             pl.BlockSpec((None, n_draws, 8, sub), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+    for tab in tables:
+        in_specs.append(
+            pl.BlockSpec(tab.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
         )
 
@@ -1002,13 +1078,14 @@ def build_fused_run(pipeline, num_iter: int | None = None,
         else:
             cnt = jnp.asarray(n_total, dtype=jnp.int32)
         seed = jnp.concatenate([seed, cnt[None]])
+        table_args = [jnp.asarray(t) for t in tables]
         if rng == "input":
             uniforms = jax.random.uniform(
                 key, (n_chunks, n_draws, 8, sub), dtype=f32
             )
-            counts, *imgs = call(seed, uniforms)
+            counts, *imgs = call(seed, uniforms, *table_args)
         else:
-            counts, *imgs = call(seed)
+            counts, *imgs = call(seed, *table_args)
         meta = (
             {name: counts[0, i] for i, name in enumerate(element_names)}
             if keep_meta else {}
@@ -1046,6 +1123,7 @@ def build_fused_trace_run(pipeline, num_iter: int | None = None,
         raise FusedUnsupported("dtype != float32")
 
     optics = [_optic_spec(o, 0.0, True) for o in pipeline.optics]
+    tables = _collect_tables(optics)
     if num_iter is None:
         num_iter = int(g["number_of_iter"])
     N = pipeline.num_rays  # static per-iteration budget
@@ -1070,11 +1148,11 @@ def build_fused_trace_run(pipeline, num_iter: int | None = None,
 
     def kernel(seed_ref, *refs):
         ray_refs = refs[:8]
-        rest = refs[8:]
+        rest = list(refs[8:])
         if rng == "input" and n_draws > 0:
-            rng_ref, counts_ref, *image_refs = rest
-        else:
-            counts_ref, *image_refs = rest
+            rng_ref, *rest = rest
+        table_refs = rest[:len(tables)]
+        counts_ref, *image_refs = rest[len(tables):]
         step = pl.program_id(0)
 
         @pl.when(step == 0)
@@ -1112,8 +1190,8 @@ def build_fused_trace_run(pipeline, num_iter: int | None = None,
         if keep_meta:
             count_into(0, alive)
         _trace_chain(optics, sub, keep_meta, keep_images, draw,
-                     count_into, image_refs, px, py, pz, dx, dy, dz,
-                     wl, alive)
+                     count_into, image_refs, table_refs, px, py, pz,
+                     dx, dy, dz, wl, alive)
 
     out_shapes = [jax.ShapeDtypeStruct((8, 128), jnp.int32)]
     out_specs = [pl.BlockSpec((8, 128), lambda i: (0, 0),
@@ -1133,6 +1211,11 @@ def build_fused_trace_run(pipeline, num_iter: int | None = None,
     if rng == "input" and n_draws > 0:
         in_specs.append(
             pl.BlockSpec((None, n_draws, 8, sub), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+    for tab in tables:
+        in_specs.append(
+            pl.BlockSpec(tab.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
         )
 
@@ -1175,12 +1258,13 @@ def build_fused_trace_run(pipeline, num_iter: int | None = None,
         seed = jax.random.randint(
             k_kernel, (2,), 0, np.iinfo(np.int32).max, dtype=jnp.int32
         )
+        table_args = [jnp.asarray(t) for t in tables]
         if rng == "input" and n_draws > 0:
             uniforms = jax.random.uniform(
                 k_kernel, (n_chunks, n_draws, 8, sub), dtype=f32
             )
-            return call(seed, *args, uniforms)
-        return call(seed, *args)
+            return call(seed, *args, uniforms, *table_args)
+        return call(seed, *args, *table_args)
 
     @jax.jit
     def run(key):
