@@ -436,6 +436,117 @@ class TestWidenedSubset:
         assert int(out_f["meta"]["crystal"]) > 0
 
 
+class TestModesParity:
+    """Round-3 widening: weight interaction mode, bilinear image binning,
+    asymmetric-y isotropic_xy and mosaic+file rocking in the fused kernel."""
+
+    def _superpixel_chi2(self, f, x, coarse=10, min_count=50):
+        sx, sy = f.shape[0] // coarse, f.shape[1] // coarse
+        cf = f[: coarse * sx, : coarse * sy].reshape(
+            coarse, sx, coarse, sy).sum((1, 3))
+        cx = x[: coarse * sx, : coarse * sy].reshape(
+            coarse, sx, coarse, sy).sum((1, 3))
+        keep = (cf + cx) > min_count
+        assert keep.sum() > 0
+        chi2 = ((cf - cx) ** 2 / (cf + cx + 1e-12))[keep].sum()
+        ndof = int(keep.sum())
+        assert chi2 < ndof + 5.0 * np.sqrt(2.0 * ndof), (chi2, ndof)
+
+    def test_weight_mode_matches_xla_weight_mode(self):
+        n = 1 << 16
+        config = _spectrometer(n, interact_mode="weight")
+        out_f, out_x = _run_both(config)
+        # Geometric survivor counts (the mask never includes the Bragg
+        # acceptance in weight mode) agree binomially.
+        for name in ("aperture", "crystal", "detector"):
+            _assert_binomial_close(
+                int(out_f["meta"][name]), int(out_x["meta"][name]), n)
+        # The weighted detector image integrates to the expected photon
+        # count; weight-mode variance is far below Poisson, so 5 sigma of
+        # the MC-mode count is a generous envelope.
+        sf = float(out_f["image"]["detector"].sum())
+        sx = float(out_x["image"]["detector"].sum())
+        assert abs(sf - sx) < 5.0 * np.sqrt(max(sf + sx, 1.0)), (sf, sx)
+        self._superpixel_chi2(out_f["image"]["detector"],
+                              out_x["image"]["detector"])
+
+    def test_weight_vs_mc_expected_detector_flux(self):
+        """Weight mode and mc mode estimate the same expected image."""
+        n = 1 << 16
+        out_w, _ = _run_both(_spectrometer(n, interact_mode="weight"))
+        out_m, _ = _run_both(_spectrometer(n))
+        sw = float(out_w["image"]["detector"].sum())
+        sm = float(out_m["image"]["detector"].sum())
+        assert abs(sw - sm) < 5.0 * np.sqrt(max(sm, 1.0)), (sw, sm)
+
+    def test_bilinear_images(self):
+        n = 1 << 16
+        config = _spectrometer(n, image_mode="bilinear")
+        out_f, out_x = _run_both(config)
+        f = out_f["image"]["detector"]
+        x = out_x["image"]["detector"]
+        # Bilinear splat preserves each in-bounds ray's unit of flux.
+        assert abs(f.sum() - int(out_f["meta"]["detector"])) < 1.0
+        self._superpixel_chi2(f, x)
+
+    def test_bilinear_weight_mode(self):
+        n = 1 << 15
+        config = _spectrometer(
+            n, image_mode="bilinear", interact_mode="weight")
+        out_f, out_x = _run_both(config)
+        sf = float(out_f["image"]["detector"].sum())
+        sx = float(out_x["image"]["detector"].sum())
+        assert sf > 0
+        assert abs(sf - sx) < 5.0 * np.sqrt(max(sf + sx, 1.0)), (sf, sx)
+
+    def test_asymmetric_y_isotropic_xy(self):
+        n = 1 << 15
+        config = _spectrometer(n)
+        config["sources"]["source"]["spread"] = [
+            -np.radians(4.0), np.radians(9.0),
+            -np.radians(5.0), np.radians(8.0),
+        ]
+        out_f, out_x = _run_both(config)
+        for name in ("aperture", "crystal", "detector"):
+            _assert_binomial_close(
+                int(out_f["meta"][name]), int(out_x["meta"][name]), n)
+        assert int(out_f["meta"]["detector"]) > 0
+
+    def test_mosaic_file_rocking(self, tmp_path):
+        from tests.test_coverage_extra import _write_xop_file
+
+        xop = tmp_path / "diff_pat.dat"
+        _write_xop_file(str(xop), fwhm=150e-6)
+        n = 1 << 15
+        config = _spectrometer(n)
+        config["optics"]["crystal"].update(
+            class_name="XicsrtOpticSphericalMosaicCrystal",
+            rocking_type="file", rocking_fwhm=None,
+            rocking_file=str(xop), rocking_filetype="xop",
+            rocking_mix=0.6,
+            mosaic_spread=np.radians(0.05), mosaic_depth=8,
+        )
+        out_f, out_x = _run_both(config)
+        for name in ("crystal", "detector"):
+            _assert_binomial_close(
+                int(out_f["meta"][name]), int(out_x["meta"][name]), n)
+        assert int(out_f["meta"]["detector"]) > 0
+
+    def test_mosaic_weight_mode(self):
+        n = 1 << 15
+        config = _spectrometer(n, interact_mode="weight")
+        config["optics"]["crystal"].update(
+            class_name="XicsrtOpticSphericalMosaicCrystal",
+            rocking_fwhm=150e-6,
+            mosaic_spread=np.radians(0.05), mosaic_depth=8,
+        )
+        out_f, out_x = _run_both(config)
+        sf = float(out_f["image"]["detector"].sum())
+        sx = float(out_x["image"]["detector"].sum())
+        assert sf > 0
+        assert abs(sf - sx) < 5.0 * np.sqrt(max(sf + sx, 1.0)), (sf, sx)
+
+
 class TestFusedTraceHybrid:
     """Trace-only kernel: XLA generation (plasma/filtered sources) + the
     shared Pallas optic chain, streamed from HBM."""
@@ -543,15 +654,15 @@ class TestEngineRouting:
         assert img.sum() == results["total"]["meta"]["detector"]["num_out"]
 
     def test_auto_falls_back_outside_subset(self):
-        # Weight mode is outside the fused subset -> auto = XLA engine.
-        config = _spectrometer(1024, engine="auto", interact_mode="weight")
+        # float64 is outside the fused subset -> auto = XLA engine.
+        config = _spectrometer(1024, engine="auto", dtype="float64")
         results = raytrace(config)
         assert results["total"]["meta"]["source"]["num_out"] >= 0
 
     def test_fused_raises_outside_subset(self):
         from xicsrt_tpu.engine import build_runner
 
-        config = _spectrometer(1024, engine="fused", interact_mode="weight")
+        config = _spectrometer(1024, engine="fused", dtype="float64")
         with pytest.raises(FusedUnsupported):
             build_runner(config)
 

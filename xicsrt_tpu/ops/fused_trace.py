@@ -13,23 +13,24 @@ Supported subset (config ``general.engine='fused'``; build raises
 ``FusedUnsupported`` outside it — ``'auto'`` falls back to the XLA engine):
 
 - Generic/Directed/Focused sources: point or extended (uniform/gaussian
-  box), Poisson or counted budgets, isotropic / symmetric-y isotropic_xy /
-  flat / flat_xy / gaussian angular distributions, monochrome / uniform /
-  voigt wavelengths (exact Gauss+Cauchy decomposition), bulk-velocity
-  Doppler;
+  box), Poisson or counted budgets, isotropic / isotropic_xy (symmetric-y
+  closed form, asymmetric-y in-kernel Newton) / flat / flat_xy / gaussian
+  angular distributions, monochrome / uniform / voigt wavelengths (exact
+  Gauss+Cauchy decomposition), bulk-velocity Doppler;
 - optic chain of: plane + none (apertures/detectors, circle/square/
   rectangle/ellipse aperture logic), plane/sphere/cylinder/torus + mirror
-  or + crystal with gaussian/step/file rocking in ``mc`` mode (torus
-  quartic solved in-kernel with a Mosaic-safe arccos; file curves as
-  tent-weight MXU matvec interpolation of a uniformly-resampled table),
-  mosaic crystals (unrolled static-depth crystallite loop);
-- nearest-mode images, float32, no history (throughput/serving path — the
-  differentiable path stays on the XLA engine).
+  or + crystal with gaussian/step/file rocking (torus quartic solved
+  in-kernel with a Mosaic-safe arccos; file curves as tent-weight MXU
+  matvec interpolation of a uniformly-resampled table), mosaic crystals
+  (unrolled static-depth crystallite loop, any rocking type);
+- ``mc`` (Bernoulli acceptance) and ``weight`` (probability-weighted)
+  interaction modes; nearest and bilinear image binning; float32; no
+  history (throughput/serving path — the differentiable path stays on
+  the XLA engine).
 
 Plasma/bundle and filtered sources run on the hybrid trace-only path
 (:func:`build_fused_trace_run`): XLA generation + this optic chain.
-Still outside every fused path: mesh shapes (XLA engine), mosaic with
-file curves, asymmetric-y isotropic_xy, weight mode, bilinear images,
+Still outside every fused path: mesh shapes (XLA engine), float64,
 ray history.
 
 Numerical notes vs the XLA engine (validated statistically in tests):
@@ -132,15 +133,28 @@ def _source_spec(source):
         dist = ("isotropic", math.cos(theta))
     elif angular == "isotropic_xy":
         tx0, tx1, ty0, ty1 = parse_spread_xy(p["spread"])
-        if not (ty0 == -ty1 and ty1 > 0):
-            # The marginal inversion is closed-form only for symmetric
-            # y-bounds (ops/spread.py:107-115); asymmetric-y needs an
-            # in-kernel Newton loop over arcsin, which Mosaic lacks.
-            raise FusedUnsupported("asymmetric-y isotropic_xy spread")
-        sb1 = math.sin(ty1)
-        g0 = 2.0 * math.asin(math.sin(tx0) * sb1)
-        g1 = 2.0 * math.asin(math.sin(tx1) * sb1)
-        dist = ("isotropic_xy", g0, g1, sb1, math.tan(ty0), math.tan(ty1))
+        if ty0 == -ty1 and ty1 > 0:
+            sb1 = math.sin(ty1)
+            g0 = 2.0 * math.asin(math.sin(tx0) * sb1)
+            g1 = 2.0 * math.asin(math.sin(tx1) * sb1)
+            dist = ("isotropic_xy", g0, g1, sb1,
+                    math.tan(ty0), math.tan(ty1))
+        else:
+            # Asymmetric y-bounds: the marginal CDF in sin(alpha) is a
+            # difference of arcsins with no closed-form inverse
+            # (ops/spread.py:116-128); the kernel inverts it with a
+            # bracket-clamped Newton loop using the Mosaic-safe
+            # polynomial arcsin (polynomials.acos_kernel).
+            sx0, sx1 = math.sin(tx0), math.sin(tx1)
+            sb0, sb1 = math.sin(ty0), math.sin(ty1)
+
+            def _marg(sx):
+                return (math.asin(max(-1.0, min(1.0, sx * sb1)))
+                        - math.asin(max(-1.0, min(1.0, sx * sb0))))
+
+            dist = ("isotropic_xy_asym", sx0, sx1, sb0, sb1,
+                    _marg(sx0), _marg(sx1),
+                    math.tan(ty0), math.tan(ty1))
     elif angular == "flat":
         dist = ("flat", math.tan(parse_spread_single(p["spread"])))
     elif angular == "flat_xy":
@@ -216,7 +230,7 @@ def _source_spec(source):
     return spec
 
 
-def _optic_spec(optic, wavelength, per_ray_wl):
+def _optic_spec(optic, wavelength, per_ray_wl, mode="mc"):
     from xicsrt_tpu.optics.interactions import (
         InteractCrystal, InteractMirror, InteractMosaicCrystal, InteractNone,
     )
@@ -287,7 +301,9 @@ def _optic_spec(optic, wavelength, per_ray_wl):
                 raise FusedUnsupported(f"rocking_type {rtype}")
             spacing = _f(p["crystal_spacing"])
             spec["interact"] = "crystal"
-            spec["n_draws"] = 1
+            # mc mode Bernoulli-accepts with one uniform; weight mode
+            # multiplies the ray weight by the probability (no draw).
+            spec["n_draws"] = 1 if mode == "mc" else 0
             spec["rocking"] = {
                 "type": rtype,
                 "reflectivity": _f(p["reflectivity"]),
@@ -325,8 +341,6 @@ def _optic_spec(optic, wavelength, per_ray_wl):
                 # Multi-layer crystallite model, unrolled to a static depth
                 # (cf. _InteractMosaicCrystal.py:53-139 and the XLA
                 # fori_loop in optics/interactions.py).
-                if rtype == "file":
-                    raise FusedUnsupported("mosaic with file rocking curve")
                 spec["interact"] = "mosaic"
                 depth = int(p["mosaic_depth"])
                 spread = _f(p["mosaic_spread"])
@@ -373,7 +387,7 @@ def _collect_tables(optics):
 
 def _trace_chain(optics, sub, keep_meta, keep_images, draw, count_into,
                  image_refs, table_refs, px, py, pz, dx, dy, dz, wl,
-                 alive):
+                 alive, wt=None, mode="mc", image_mode="nearest"):
     """Shared optic-chain body for both fused kernels (megakernel and
     trace-only): intersect -> bounds/aperture -> interact -> count ->
     image-accumulate for every optic, entirely in VMEM/registers."""
@@ -382,6 +396,40 @@ def _trace_chain(optics, sub, keep_meta, keep_images, draw, count_into,
     def normal_draw():
         u = jnp.clip(draw(), 1e-7, 1.0 - 1e-7)
         return math.sqrt(2.0) * jax.lax.erf_inv(2.0 * u - 1.0)
+
+    def rock_prob(rk, delta):
+        """Reflection probability from the rocking curve at deviation
+        ``delta`` [rad] (gaussian / step / file — shared by the crystal
+        and mosaic branches; cf. ``_InteractCrystal.py:136-196``)."""
+        if rk["type"] == "gaussian":
+            sigma = rk["fwhm"] / (2.0 * math.sqrt(2.0 * math.log(2.0)))
+            return rk["reflectivity"] * jnp.exp(-0.5 * (delta / sigma) ** 2)
+        if rk["type"] == "step":
+            return jnp.where(jnp.abs(delta) <= rk["fwhm"] / 2.0,
+                             rk["reflectivity"], 0.0)
+        # file: tent-weight matvec interpolation on the MXU. Linear
+        # interpolation == contraction with tent weights
+        # max(0, 1 - |f - k|): one (1,K)x(K,sub) matvec per sublane (same
+        # factorization trick as the image binning; no Mosaic gather
+        # exists).
+        K = rk["K"]
+        T = table_refs[rk["slot"]][:]  # (1, K) VMEM input
+        fidx = (delta - rk["lo"]) * rk["inv_step"]
+        inr = (fidx >= 0.0) & (fidx <= K - 1)
+        fidx = jnp.clip(fidx, 0.0, K - 1.0)
+        kio = jax.lax.broadcasted_iota(jnp.int32, (K, sub), 0).astype(f32)
+        rows_i = jax.lax.broadcasted_iota(jnp.int32, (8, sub), 0)
+        prob = jnp.zeros((8, sub), f32)
+        for s in range(8):
+            tent = jnp.maximum(0.0, 1.0 - jnp.abs(fidx[s][None, :] - kio))
+            val = jax.lax.dot_general(
+                T, tent,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )  # (1, sub)
+            prob = prob + jnp.where(rows_i == s, val[0][None, :], 0.0)
+        return jnp.where(inr, prob * rk["reflectivity"], 0.0)
+
     # ---- optic chain ------------------------------------------------
     img_slot = 0
     for ei, o in enumerate(optics):
@@ -608,43 +656,13 @@ def _trace_chain(optics, sub, keep_meta, keep_images, draw, count_into,
                 cos_b = jnp.sqrt(jnp.maximum(1.0 - sin_b * sin_b, 0.0))
             sd = adot * cos_b - cosi * sin_b
             delta = sd + sd * sd * sd * (1.0 / 6.0)
-            if rk["type"] == "gaussian":
-                sigma = rk["fwhm"] / (2.0 * math.sqrt(2.0 * math.log(2.0)))
-                prob = rk["reflectivity"] * jnp.exp(
-                    -0.5 * (delta / sigma) ** 2
-                )
-            elif rk["type"] == "step":
-                prob = jnp.where(
-                    jnp.abs(delta) <= rk["fwhm"] / 2.0,
-                    rk["reflectivity"], 0.0,
-                )
-            else:  # file: tent-weight matvec interpolation on the MXU
-                K = rk["K"]
-                T = table_refs[rk["slot"]][:]  # (1, K) VMEM input
-                fidx = (delta - rk["lo"]) * rk["inv_step"]
-                inr = (fidx >= 0.0) & (fidx <= K - 1)
-                fidx = jnp.clip(fidx, 0.0, K - 1.0)
-                kio = jax.lax.broadcasted_iota(
-                    jnp.int32, (K, sub), 0).astype(f32)
-                rows_i = jax.lax.broadcasted_iota(jnp.int32, (8, sub), 0)
-                prob = jnp.zeros((8, sub), f32)
-                for s in range(8):
-                    # Linear interpolation == contraction with tent
-                    # weights max(0, 1 - |f - k|): one (1,K)x(K,sub)
-                    # matvec per sublane (same factorization trick as the
-                    # image binning; no Mosaic gather exists).
-                    tent = jnp.maximum(
-                        0.0, 1.0 - jnp.abs(fidx[s][None, :] - kio))
-                    val = jax.lax.dot_general(
-                        T, tent,
-                        dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=f32,
-                    )  # (1, sub)
-                    prob = prob + jnp.where(
-                        rows_i == s, val[0][None, :], 0.0)
-                prob = jnp.where(inr, prob * rk["reflectivity"], 0.0)
-            uacc = draw()
-            mask = mask & (prob >= uacc)
+            prob = rock_prob(rk, delta)
+            if mode == "mc":
+                uacc = draw()
+                mask = mask & (prob >= uacc)
+            else:  # weight mode (interactions.py:178-189): multiply the
+                # ray weight by the probability, reflect every masked ray.
+                wt = jnp.where(mask, wt * prob, wt)
             kk = 2.0 * dot
             dx = jnp.where(mask, dx - kk * nxv, dx)
             dy = jnp.where(mask, dy - kk * nyv, dy)
@@ -677,37 +695,63 @@ def _trace_chain(optics, sub, keep_meta, keep_images, draw, count_into,
             inv = jax.lax.rsqrt(jnp.maximum(
                 o2x_ * o2x_ + o2y_ * o2y_ + o2z_ * o2z_, 1e-30))
             o2x_, o2y_, o2z_ = o2x_ * inv, o2y_ * inv, o2z_ * inv
-            refl = jnp.zeros_like(mask)
-            if rk["type"] == "gaussian":
-                sigma_r = rk["fwhm"] / (2.0 * math.sqrt(
-                    2.0 * math.log(2.0)))
-            for _layer in range(mz["depth"]):
-                gx = mz["sigma_n"] * normal_draw()
-                gy = mz["sigma_n"] * normal_draw()
-                wn = jax.lax.rsqrt(1.0 + gx * gx + gy * gy)
-                nmx = gx * wn * o2x_ + gy * wn * o1x_ + wn * nxv
-                nmy = gx * wn * o2y_ + gy * wn * o1y_ + wn * nyv
-                nmz = gx * wn * o2z_ + gy * wn * o1z_ + wn * nzv
-                dotm = dx * nmx + dy * nmy + dz * nmz
-                adot = jnp.abs(dotm)
-                cosi = jnp.sqrt(jnp.maximum(1.0 - adot * adot, 0.0))
-                sd = adot * cos_b - cosi * sin_b
-                delta = sd + sd * sd * sd * (1.0 / 6.0)
-                if rk["type"] == "gaussian":
-                    prob = rk["reflectivity"] * jnp.exp(
-                        -0.5 * (delta / sigma_r) ** 2)
-                else:
-                    prob = jnp.where(
-                        jnp.abs(delta) <= rk["fwhm"] / 2.0,
-                        rk["reflectivity"], 0.0)
-                u = draw()
-                accept = mask & ~refl & (prob >= u)
-                kk = 2.0 * dotm
-                dx = jnp.where(accept, dx - kk * nmx, dx)
-                dy = jnp.where(accept, dy - kk * nmy, dy)
-                dz = jnp.where(accept, dz - kk * nmz, dz)
-                refl = refl | accept
-            mask = mask & refl
+            if mode == "mc":
+                refl = jnp.zeros_like(mask)
+                for _layer in range(mz["depth"]):
+                    gx = mz["sigma_n"] * normal_draw()
+                    gy = mz["sigma_n"] * normal_draw()
+                    wn = jax.lax.rsqrt(1.0 + gx * gx + gy * gy)
+                    nmx = gx * wn * o2x_ + gy * wn * o1x_ + wn * nxv
+                    nmy = gx * wn * o2y_ + gy * wn * o1y_ + wn * nyv
+                    nmz = gx * wn * o2z_ + gy * wn * o1z_ + wn * nzv
+                    dotm = dx * nmx + dy * nmy + dz * nmz
+                    adot = jnp.abs(dotm)
+                    cosi = jnp.sqrt(jnp.maximum(1.0 - adot * adot, 0.0))
+                    sd = adot * cos_b - cosi * sin_b
+                    delta = sd + sd * sd * sd * (1.0 / 6.0)
+                    prob = rock_prob(rk, delta)
+                    u = draw()
+                    accept = mask & ~refl & (prob >= u)
+                    kk = 2.0 * dotm
+                    dx = jnp.where(accept, dx - kk * nmx, dx)
+                    dy = jnp.where(accept, dy - kk * nmy, dy)
+                    dz = jnp.where(accept, dz - kk * nmz, dz)
+                    refl = refl | accept
+                mask = mask & refl
+            else:
+                # Weight mode: depth-aware survival weighting with online
+                # categorical (reservoir) selection of the reflecting
+                # layer — the kernel twin of the XLA path
+                # (interactions.py:268-305). The incoming direction is
+                # reused for every layer's Bragg test; the chosen layer's
+                # reflection replaces the direction at the end.
+                d0x, d0y, d0z = dx, dy, dz
+                surv = jnp.ones_like(wt)
+                cum = jnp.zeros_like(wt)
+                for _layer in range(mz["depth"]):
+                    gx = mz["sigma_n"] * normal_draw()
+                    gy = mz["sigma_n"] * normal_draw()
+                    wn = jax.lax.rsqrt(1.0 + gx * gx + gy * gy)
+                    nmx = gx * wn * o2x_ + gy * wn * o1x_ + wn * nxv
+                    nmy = gx * wn * o2y_ + gy * wn * o1y_ + wn * nyv
+                    nmz = gx * wn * o2z_ + gy * wn * o1z_ + wn * nzv
+                    dotm = d0x * nmx + d0y * nmy + d0z * nmz
+                    adot = jnp.abs(dotm)
+                    cosi = jnp.sqrt(jnp.maximum(1.0 - adot * adot, 0.0))
+                    sd = adot * cos_b - cosi * sin_b
+                    delta = sd + sd * sd * sd * (1.0 / 6.0)
+                    prob = rock_prob(rk, delta)
+                    q = prob * surv
+                    cum_new = cum + q
+                    u = draw()
+                    pick = mask & (u * cum_new < q)
+                    kk = 2.0 * dotm
+                    dx = jnp.where(pick, d0x - kk * nmx, dx)
+                    dy = jnp.where(pick, d0y - kk * nmy, dy)
+                    dz = jnp.where(pick, d0z - kk * nmz, dz)
+                    surv = surv * (1.0 - prob)
+                    cum = cum_new
+                wt = jnp.where(mask, wt * cum, wt)
         elif o["interact"] == "mirror":
             kk = 2.0 * (dx * nxv + dy * nyv + dz * nzv)
             dx = jnp.where(mask, dx - kk * nxv, dx)
@@ -724,38 +768,76 @@ def _trace_chain(optics, sub, keep_meta, keep_images, draw, count_into,
             im = o["image"]
             fx = lxv * (1.0 / im["ps"]) + (im["nx"] - 1) / 2.0
             fy = lyv * (1.0 / im["ps"]) + (im["ny"] - 1) / 2.0
-            # round-half-to-even, same as the XLA/pallas binning paths
-            # (binning.py:36, pallas_binning.py:81) and the reference's
-            # np.round (_TraceObject.py:274) — midpoint hits bin
-            # identically across engines.
-            ix = jnp.round(fx).astype(jnp.int32)
-            iy = jnp.round(fy).astype(jnp.int32)
-            ok = (alive & (ix >= 0) & (ix < im["nx"])
-                  & (iy >= 0) & (iy < im["ny"]))
-            ix = jnp.where(ok, ix, -1)
-            iy = jnp.where(ok, iy, -1)
-            # One-hot factorized histogram on the MXU. Layout is the
-            # whole trick: bins go on SUBLANES (broadcast over a major
-            # dim is free) and rays stay on LANES, contracted via
-            # A @ B^T. The transposed-image accumulator (nx sublanes,
-            # ny lanes) then needs no relayout. Bins-on-lanes
-            # (ix[:, :, None] == lane-iota) costs a per-element lane
-            # splat; measured v5e: 9.7 us -> 1.06 us per 8192-ray chunk
-            # per image (22 -> 205 TFLOP/s, MXU speed-of-light).
-            xb = jax.lax.broadcasted_iota(
-                jnp.int32, (im["nx_pad"], sub), 0)
-            yb = jax.lax.broadcasted_iota(
-                jnp.int32, (im["ny_pad"], sub), 0)
             ref = image_refs[img_slot]
             acc = jnp.zeros((im["nx_pad"], im["ny_pad"]), f32)
-            for s in range(8):
-                oxs = (ix[s][None, :] == xb).astype(jnp.bfloat16)
-                oys = (iy[s][None, :] == yb).astype(jnp.bfloat16)
-                acc += jax.lax.dot_general(
-                    oxs, oys,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=f32,
-                )
+            if image_mode == "nearest":
+                # round-half-to-even, same as the XLA/pallas binning paths
+                # (binning.py:36, pallas_binning.py:81) and the reference's
+                # np.round (_TraceObject.py:274) — midpoint hits bin
+                # identically across engines.
+                ix = jnp.round(fx).astype(jnp.int32)
+                iy = jnp.round(fy).astype(jnp.int32)
+                ok = (alive & (ix >= 0) & (ix < im["nx"])
+                      & (iy >= 0) & (iy < im["ny"]))
+                ix = jnp.where(ok, ix, -1)
+                iy = jnp.where(ok, iy, -1)
+                # One-hot factorized histogram on the MXU. Layout is the
+                # whole trick: bins go on SUBLANES (broadcast over a major
+                # dim is free) and rays stay on LANES, contracted via
+                # A @ B^T. The transposed-image accumulator (nx sublanes,
+                # ny lanes) then needs no relayout. Bins-on-lanes
+                # (ix[:, :, None] == lane-iota) costs a per-element lane
+                # splat; measured v5e: 9.7 us -> 1.06 us per 8192-ray chunk
+                # per image (22 -> 205 TFLOP/s, MXU speed-of-light).
+                xb = jax.lax.broadcasted_iota(
+                    jnp.int32, (im["nx_pad"], sub), 0)
+                yb = jax.lax.broadcasted_iota(
+                    jnp.int32, (im["ny_pad"], sub), 0)
+                for s in range(8):
+                    if wt is None:
+                        # Unit weights: exact one-hots, bf16 MXU rate.
+                        oxs = (ix[s][None, :] == xb).astype(jnp.bfloat16)
+                        oys = (iy[s][None, :] == yb).astype(jnp.bfloat16)
+                    else:
+                        # Weighted: fold the (fractional) ray weight into
+                        # the x-side one-hot; f32 matmul keeps the weight
+                        # mantissa exact (bf16 would quantize at ~0.4%).
+                        oxs = jnp.where(ix[s][None, :] == xb,
+                                        wt[s][None, :], 0.0)
+                        oys = (iy[s][None, :] == yb).astype(f32)
+                    acc += jax.lax.dot_general(
+                        oxs, oys,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=f32,
+                    )
+            else:
+                # Bilinear splat (binning.py bin_image_bilinear): the
+                # corner weight of ray r on pixel (i, j) is
+                # max(0, 1-|fx-i|) * max(0, 1-|fy-j|) — separable tents,
+                # so the same two-matrix MXU contraction accumulates all
+                # four corners at once. Out-of-grid corners land in the
+                # padded margin (cropped on output) or at negative
+                # indices (tent already zero), matching the per-corner
+                # bounds drop of the XLA path.
+                xb = jax.lax.broadcasted_iota(
+                    jnp.int32, (im["nx_pad"], sub), 0).astype(f32)
+                yb = jax.lax.broadcasted_iota(
+                    jnp.int32, (im["ny_pad"], sub), 0).astype(f32)
+                w_img = jnp.where(alive, 1.0 if wt is None else wt, 0.0)
+                # Keep far-away dead rays from generating huge |fx-i|
+                # intermediates; their weight is already zero.
+                fxc = jnp.clip(fx, -2.0, im["nx"] + 1.0)
+                fyc = jnp.clip(fy, -2.0, im["ny"] + 1.0)
+                for s in range(8):
+                    oxs = (jnp.maximum(0.0, 1.0 - jnp.abs(
+                        fxc[s][None, :] - xb)) * w_img[s][None, :])
+                    oys = jnp.maximum(
+                        0.0, 1.0 - jnp.abs(fyc[s][None, :] - yb))
+                    acc += jax.lax.dot_general(
+                        oxs, oys,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=f32,
+                    )
             ref[:] += acc
             img_slot += 1
 
@@ -777,17 +859,19 @@ def build_fused_run(pipeline, num_iter: int | None = None,
     zero stub).
     """
     g = pipeline.general
-    if str(g.get("interact_mode", "mc")).lower() != "mc":
-        raise FusedUnsupported("interact_mode != 'mc'")
-    if str(g.get("image_mode", "nearest")).lower() != "nearest":
-        raise FusedUnsupported("image_mode != 'nearest'")
+    mode = str(g.get("interact_mode", "mc")).lower()
+    if mode not in ("mc", "weight"):
+        raise FusedUnsupported(f"interact_mode {mode!r}")
+    image_mode = str(g.get("image_mode", "nearest")).lower()
+    if image_mode not in ("nearest", "bilinear"):
+        raise FusedUnsupported(f"image_mode {image_mode!r}")
     if str(g.get("dtype", "float32")).lower() not in ("float32", "f32"):
         raise FusedUnsupported("dtype != float32")
 
     src = _source_spec(pipeline.source)
     # Per-ray wavelengths are materialized only when something varies them.
     per_ray_wl = src["wave"][0] != "mono" or src["velocity"] is not None
-    optics = [_optic_spec(o, src["wavelength"], per_ray_wl)
+    optics = [_optic_spec(o, src["wavelength"], per_ray_wl, mode)
               for o in pipeline.optics]
     tables = _collect_tables(optics)
     if num_iter is None:
@@ -937,6 +1021,39 @@ def build_fused_run(pipeline, num_iter: int | None = None,
             )
             w = jax.lax.rsqrt(1.0 + tx * tx + ty * ty)
             lx, ly, lz = tx * w, ty * w, w
+        elif dist[0] == "isotropic_xy_asym":
+            # Asymmetric y-bounds: bracket-clamped Newton on the
+            # arcsin-difference marginal CDF (ops/spread.py:116-128), with
+            # arcsin(x) = pi/2 - acos_kernel(x) (Mosaic has no asin/acos
+            # lowering). 12 iterations match the XLA sampler's default.
+            from xicsrt_tpu.ops.polynomials import acos_kernel
+
+            _, sx0, sx1, sb0, sb1, g0, g1, tyl, tyh = dist
+
+            def asin_k(x):
+                return math.pi / 2.0 - acos_kernel(
+                    jnp.clip(x, -1.0, 1.0))
+
+            u, v = draw(), draw()
+            target = g0 + u * (g1 - g0)
+            sx = sx0 + u * (sx1 - sx0)
+            for _ in range(12):
+                gm = asin_k(sx * sb1) - asin_k(sx * sb0)
+                dg = sb1 * jax.lax.rsqrt(jnp.maximum(
+                    1.0 - (sx * sb1) ** 2, 1e-12)) - sb0 * jax.lax.rsqrt(
+                    jnp.maximum(1.0 - (sx * sb0) ** 2, 1e-12))
+                sx = jnp.clip(
+                    sx - (gm - target) / jnp.maximum(dg, 1e-12), sx0, sx1)
+            tx = sx * jax.lax.rsqrt(jnp.maximum(1.0 - sx * sx, 1e-12))
+            k2 = 1.0 + tx * tx
+            h0 = tyl * jax.lax.rsqrt(k2 + tyl * tyl)
+            h1 = tyh * jax.lax.rsqrt(k2 + tyh * tyh)
+            h = h0 + v * (h1 - h0)
+            ty = jnp.sqrt(k2) * h * jax.lax.rsqrt(
+                jnp.maximum(1.0 - h * h, 1e-12)
+            )
+            w = jax.lax.rsqrt(1.0 + tx * tx + ty * ty)
+            lx, ly, lz = tx * w, ty * w, w
         elif dist[0] == "flat":
             # r = tan(theta) sqrt(u) on the z=1 plane (ops/spread.py:157).
             r = dist[1] * jnp.sqrt(draw())
@@ -1016,9 +1133,11 @@ def build_fused_run(pipeline, num_iter: int | None = None,
             count_into(0, alive)
 
         # ---- optic chain (shared with the trace-only kernel) -----------
+        wt = None if mode == "mc" else jnp.ones((8, sub), f32)
         _trace_chain(optics, sub, keep_meta, keep_images, draw,
                      count_into, image_refs, table_refs, px, py, pz,
-                     dx, dy, dz, wl, alive)
+                     dx, dy, dz, wl, alive, wt=wt, mode=mode,
+                     image_mode=image_mode)
 
     out_shapes = [jax.ShapeDtypeStruct((8, 128), jnp.int32)]
     out_specs = [pl.BlockSpec((8, 128), lambda i: (0, 0),
@@ -1115,14 +1234,19 @@ def build_fused_trace_run(pipeline, num_iter: int | None = None,
     ``pipeline.params``. Returns ``run(key)`` like :func:`build_fused_run`.
     """
     g = pipeline.general
-    if str(g.get("interact_mode", "mc")).lower() != "mc":
-        raise FusedUnsupported("interact_mode != 'mc'")
-    if str(g.get("image_mode", "nearest")).lower() != "nearest":
-        raise FusedUnsupported("image_mode != 'nearest'")
+    mode = str(g.get("interact_mode", "mc")).lower()
+    if mode not in ("mc", "weight"):
+        raise FusedUnsupported(f"interact_mode {mode!r}")
+    image_mode = str(g.get("image_mode", "nearest")).lower()
+    if image_mode not in ("nearest", "bilinear"):
+        raise FusedUnsupported(f"image_mode {image_mode!r}")
     if str(g.get("dtype", "float32")).lower() not in ("float32", "f32"):
         raise FusedUnsupported("dtype != float32")
 
-    optics = [_optic_spec(o, 0.0, True) for o in pipeline.optics]
+    # Weight mode streams the generator's per-ray weights too (sources
+    # emit unit weights, so mc mode skips the extra 4 B/ray of traffic).
+    n_ray_refs = 9 if mode == "weight" else 8
+    optics = [_optic_spec(o, 0.0, True, mode) for o in pipeline.optics]
     tables = _collect_tables(optics)
     if num_iter is None:
         num_iter = int(g["number_of_iter"])
@@ -1147,8 +1271,8 @@ def build_fused_trace_run(pipeline, num_iter: int | None = None,
     f32 = jnp.float32
 
     def kernel(seed_ref, *refs):
-        ray_refs = refs[:8]
-        rest = list(refs[8:])
+        ray_refs = refs[:n_ray_refs]
+        rest = list(refs[n_ray_refs:])
         if rng == "input" and n_draws > 0:
             rng_ref, *rest = rest
         table_refs = rest[:len(tables)]
@@ -1187,11 +1311,13 @@ def build_fused_trace_run(pipeline, num_iter: int | None = None,
         dx, dy, dz = ray_refs[3][:], ray_refs[4][:], ray_refs[5][:]
         wl = ray_refs[6][:]
         alive = ray_refs[7][:] != 0
+        wt = ray_refs[8][:] if mode == "weight" else None
         if keep_meta:
             count_into(0, alive)
         _trace_chain(optics, sub, keep_meta, keep_images, draw,
                      count_into, image_refs, table_refs, px, py, pz,
-                     dx, dy, dz, wl, alive)
+                     dx, dy, dz, wl, alive, wt=wt, mode=mode,
+                     image_mode=image_mode)
 
     out_shapes = [jax.ShapeDtypeStruct((8, 128), jnp.int32)]
     out_specs = [pl.BlockSpec((8, 128), lambda i: (0, 0),
@@ -1207,7 +1333,8 @@ def build_fused_trace_run(pipeline, num_iter: int | None = None,
 
     ray_spec = pl.BlockSpec((None, 8, sub), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
-    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + [ray_spec] * 8
+    in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)]
+                + [ray_spec] * n_ray_refs)
     if rng == "input" and n_draws > 0:
         in_specs.append(
             pl.BlockSpec((None, n_draws, 8, sub), lambda i: (i, 0, 0, 0),
@@ -1255,6 +1382,8 @@ def build_fused_trace_run(pipeline, num_iter: int | None = None,
             flat(rays.wavelength),
             flat(rays.mask.astype(jnp.int32)),
         ]
+        if mode == "weight":
+            args.append(flat(rays.weight))
         seed = jax.random.randint(
             k_kernel, (2,), 0, np.iinfo(np.int32).max, dtype=jnp.int32
         )
