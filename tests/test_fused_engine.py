@@ -436,6 +436,125 @@ class TestWidenedSubset:
         assert int(out_f["meta"]["crystal"]) > 0
 
 
+class TestMeshSurrogate:
+    """Fused mesh optics: the Chebyshev height-field surrogate
+    (``_fit_cheb_surface``) vs the XLA grid-pruned triangle path, plus the
+    honest fallbacks for meshes outside the smooth-surface assumption."""
+
+    def _mesh_config(self, n, cls, **kw):
+        crystal = {
+            "class_name": cls,
+            "origin": [0.0, 0.0, 0.80374151],
+            "zaxis": [0.0, 0.59497864, -0.80374151],
+            "xsize": 0.2, "ysize": 0.2,
+            "crystal_spacing": 2.45676,
+            "rocking_type": "gaussian", "rocking_fwhm": 150e-6,
+        }
+        crystal.update(kw)
+        return {
+            "general": {"number_of_iter": 1, "random_seed": 0,
+                        "keep_history": False, "print_results": False},
+            "sources": {"source": {
+                "class_name": "XicsrtSourceDirected",
+                "intensity": n, "wavelength": 3.9492,
+                "angular_dist": "isotropic_xy", "spread": np.radians(10.0),
+            }},
+            "optics": {
+                "crystal": crystal,
+                "detector": {
+                    "class_name": "XicsrtOpticDetector",
+                    "origin": [0.0, 0.76871290, 0.56904832],
+                    "zaxis": [0.0, -0.95641806, 0.29200084],
+                    "xsize": 0.4, "ysize": 0.2,
+                },
+            },
+        }
+
+    @pytest.mark.parametrize("cls,kw", [
+        ("XicsrtOpticMeshSphericalCrystal",
+         dict(radius=1.0, mesh_size=(41, 41), mesh_coarse_size=(11, 11))),
+        ("XicsrtOpticMeshCylindricalCrystal",
+         dict(radius=1.0, mesh_size=(41, 41), mesh_coarse_size=(11, 11))),
+        ("XicsrtOpticMeshToroidalCrystal",
+         dict(radius_major=1.0, radius_minor=0.64, mesh_size=(41, 41),
+              mesh_coarse_size=(11, 11), rocking_fwhm=2e-3)),
+    ])
+    def test_mesh_crystal_parity(self, cls, kw):
+        n = 1 << 15
+        out_f, out_x = _run_both(self._mesh_config(n, cls, **kw))
+        for name in ("crystal", "detector"):
+            _assert_binomial_close(
+                int(out_f["meta"][name]), int(out_x["meta"][name]), n)
+        assert int(out_f["meta"]["detector"]) > 0
+
+    def test_mesh_matches_analytic_sphere(self):
+        """The surrogate of a spherical mesh agrees with the analytic
+        sphere (integrated_test_01's analytic-vs-mesh axis)."""
+        n = 1 << 15
+        out_m, _ = _run_both(self._mesh_config(
+            n, "XicsrtOpticMeshSphericalCrystal", radius=1.0,
+            mesh_size=(41, 41), mesh_coarse_size=(11, 11)))
+        out_a, _ = _run_both(self._mesh_config(
+            n, "XicsrtOpticSphericalCrystal", radius=1.0))
+        _assert_binomial_close(int(out_m["meta"]["detector"]),
+                               int(out_a["meta"]["detector"]), n)
+
+    def test_faceted_mesh_falls_back(self):
+        config = self._mesh_config(
+            1024, "XicsrtOpticMeshSphericalCrystal", radius=1.0,
+            mesh_size=(21, 21), mesh_coarse_size=(11, 11),
+            mesh_interpolate=False)
+        with pytest.raises(FusedUnsupported, match="faceted"):
+            build_fused_run(Pipeline(config), chunk=1024, interpret=True)
+
+    def test_rough_mesh_falls_back(self):
+        """A surface too rough for a smooth height-field fit stays on the
+        exact XLA triangle path instead of silently mis-tracing."""
+        from xicsrt_tpu.optics.mesh_shapes import grid_faces
+
+        nx, ny = 21, 21
+        xg, yg = np.meshgrid(np.linspace(-0.1, 0.1, nx),
+                             np.linspace(-0.1, 0.1, ny), indexing="ij")
+        rng = np.random.default_rng(0)
+        zg = 0.02 * np.sin(40 * xg) * np.cos(37 * yg) + rng.normal(
+            0.0, 1e-3, xg.shape)
+        pts = np.stack([xg.ravel(), yg.ravel(), zg.ravel()], axis=-1)
+        normals = np.zeros_like(pts)
+        normals[:, 2] = 1.0
+        config = self._mesh_config(
+            1024, "XicsrtOpticMeshCrystal", mesh_points=pts,
+            mesh_normals=normals, mesh_faces=grid_faces(nx, ny),
+            trace_local=True)
+        with pytest.raises(FusedUnsupported):
+            build_fused_run(Pipeline(config), chunk=1024, interpret=True)
+
+    def test_mesh_with_plasma_hybrid(self):
+        """Mesh optics compose with the trace-only plasma path."""
+        from xicsrt_tpu.ops.fused_trace import build_fast_run
+
+        config = self._mesh_config(
+            0, "XicsrtOpticMeshSphericalCrystal", radius=1.0,
+            mesh_size=(41, 41), mesh_coarse_size=(11, 11),
+            rocking_fwhm=2e-3)
+        config["sources"] = {"plasma": {
+            "class_name": "XicsrtPlasmaCubic",
+            "origin": [0.0, 0.0, 0.0],
+            "xsize": 0.02, "ysize": 0.02, "zsize": 0.02,
+            "target": [0.0, 0.0, 0.80374151],
+            "spread": np.radians(10.0),
+            "emissivity": 2e14, "temperature": 500.0, "mass_number": 40.0,
+            "wavelength": 3.9492, "time_resolution": 1e-3,
+            "bundle_volume": 1e-6, "bundle_count": 100,
+            "use_poisson": True,
+        }}
+        pipe = Pipeline(config)
+        run, kind = build_fast_run(pipe, interpret=True, chunk=4096)
+        assert kind == "fused_trace"
+        out = jax.tree_util.tree_map(np.asarray, run(jax.random.key(0)))
+        assert int(out["meta"]["plasma"]) > 0
+        assert int(out["meta"]["crystal"]) > 0
+
+
 class TestModesParity:
     """Round-3 widening: weight interaction mode, bilinear image binning,
     asymmetric-y isotropic_xy and mosaic+file rocking in the fused kernel."""

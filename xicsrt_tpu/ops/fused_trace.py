@@ -22,7 +22,9 @@ Supported subset (config ``general.engine='fused'``; build raises
   or + crystal with gaussian/step/file rocking (torus quartic solved
   in-kernel with a Mosaic-safe arccos; file curves as tent-weight MXU
   matvec interpolation of a uniformly-resampled table), mosaic crystals
-  (unrolled static-depth crystallite loop, any rocking type);
+  (unrolled static-depth crystallite loop, any rocking type), and smooth
+  mesh optics (build-time Chebyshev height-field surrogate + in-kernel
+  Newton, :func:`_fit_cheb_surface`);
 - ``mc`` (Bernoulli acceptance) and ``weight`` (probability-weighted)
   interaction modes; nearest and bilinear image binning; float32; no
   history (throughput/serving path — the differentiable path stays on
@@ -30,8 +32,8 @@ Supported subset (config ``general.engine='fused'``; build raises
 
 Plasma/bundle and filtered sources run on the hybrid trace-only path
 (:func:`build_fused_trace_run`): XLA generation + this optic chain.
-Still outside every fused path: mesh shapes (XLA engine), float64,
-ray history.
+Still outside every fused path: faceted or non-height-field meshes
+(exact XLA triangle path), float64, ray history.
 
 Numerical notes vs the XLA engine (validated statistically in tests):
 
@@ -230,10 +232,113 @@ def _source_spec(source):
     return spec
 
 
+def _fit_cheb_surface(optic):
+    """Fit the mesh with a tensor-Chebyshev height field z(x, y) (build time).
+
+    The XLA mesh path prunes Möller–Trumbore candidates with a uniform
+    grid (``optics/mesh_shapes.py``); neither per-ray face gathers nor
+    face loops map onto a Pallas TPU kernel (Mosaic has no gather, and a
+    dense face loop is VPU-bound at ~1e7 rays/s). But every mesh the
+    reference traces in its refine path is a *local-frame height field* —
+    its pruning grid lives in the local x-y plane, exactly the
+    single-valuedness assumption (``_ShapeMesh.py:350-426``) — and its
+    default smooth mode interpolates positions/normals between vertices
+    (CloughTocher splines, ``_ShapeMesh.py:221-230``). So the TPU-native
+    form of a smooth mesh is a *global smooth surrogate*: fit
+    z = sum_ij C_ij T_i(u) T_j(v) to the vertices by least squares
+    (adaptive degree), verify the fit reproduces both the vertices and
+    the vertex normals, and intersect it in-kernel with an unrolled
+    Newton iteration — O(deg^2) multiply-adds per ray, no memory traffic.
+
+    Raises ``FusedUnsupported`` for meshes that are not smooth height
+    fields (they stay on the exact XLA triangle path).
+    """
+    import numpy.polynomial.chebyshev as ncheb
+
+    p = optic.param
+    if not bool(p.get("mesh_interpolate", False)):
+        raise FusedUnsupported(
+            "faceted mesh (mesh_interpolate=False): the fused surrogate "
+            "is smooth; the XLA engine traces exact triangles"
+        )
+    pts = np.asarray(p["mesh_points"], dtype=np.float64)
+    normals = p.get("mesh_normals")
+    if not bool(p.get("trace_local", False)):
+        basis = np.asarray(optic.frame.basis, dtype=np.float64)
+        origin = np.asarray(optic.frame.origin, dtype=np.float64)
+        pts = (pts - origin) @ basis.T
+        if normals is not None:
+            normals = np.asarray(normals, dtype=np.float64) @ basis.T
+    x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    lox, hix = float(x.min()), float(x.max())
+    loy, hiy = float(y.min()), float(y.max())
+    spanx = max(hix - lox, 1e-12)
+    spany = max(hiy - loy, 1e-12)
+    u = (x - lox) / spanx * 2.0 - 1.0
+    v = (y - loy) / spany * 2.0 - 1.0
+    tol = 1e-6 * max(spanx, spany)
+    C = resid = None
+    for deg in (4, 6, 8, 10, 12):
+        if deg > 4 and (deg + 1) ** 2 * 1.2 > len(pts):
+            break  # under-determined: higher degrees would interpolate noise
+        V = ncheb.chebvander2d(u, v, [deg, deg])
+        coef, *_ = np.linalg.lstsq(V, z, rcond=None)
+        resid = float(np.abs(V @ coef - z).max())
+        if resid <= tol:
+            C = coef.reshape(deg + 1, deg + 1)
+            break
+    if C is None:
+        raise FusedUnsupported(
+            f"mesh is not a smooth height field (Chebyshev fit residual "
+            f"{resid:.2e} > {tol:.2e})"
+        )
+    # Derivative coefficient matrices in the same basis (du/dx = 2/spanx).
+    Cx = np.zeros_like(C)
+    Cx[:-1, :] = ncheb.chebder(C, axis=0) * (2.0 / spanx)
+    Cy = np.zeros_like(C)
+    Cy[:, :-1] = ncheb.chebder(C, axis=1) * (2.0 / spany)
+    if normals is not None:
+        # The surrogate's normals must reproduce the mesh vertex normals
+        # (the quantities Bragg physics is sensitive to). Barycentric
+        # vertex-normal interpolation on the XLA path deviates from the
+        # smooth field by O(h^2 / R^2); 5e-4 rad is far above that for
+        # every generated mesh and catches genuinely inconsistent
+        # user-supplied normals.
+        zx = ncheb.chebval2d(u, v, Cx)
+        zy = ncheb.chebval2d(u, v, Cy)
+        m = np.stack([-zx, -zy, np.ones_like(zx)], axis=-1)
+        m /= np.linalg.norm(m, axis=-1, keepdims=True)
+        n = np.asarray(normals, dtype=np.float64)
+        n = n / np.linalg.norm(n, axis=-1, keepdims=True)
+        dot = np.clip(np.abs(np.sum(m * n, axis=-1)), -1.0, 1.0)
+        worst = float(np.arccos(dot).max())
+        if worst > 5e-4:
+            raise FusedUnsupported(
+                f"mesh normals deviate {worst:.2e} rad from the fitted "
+                "surface gradient"
+            )
+    zmid = float(z.min() + z.max()) / 2.0
+    # Drop negligible coefficients (odd terms of symmetric surfaces):
+    # zeroed entries are skipped when the kernel unrolls the sums.
+    cut = 1e-13 * max(np.abs(C).max(), 1.0)
+    C[np.abs(C) < cut] = 0.0
+    Cx[np.abs(Cx) < cut * (2.0 / spanx)] = 0.0
+    Cy[np.abs(Cy) < cut * (2.0 / spany)] = 0.0
+    return {
+        "deg": int(C.shape[0] - 1),
+        "C": C.tolist(), "Cx": Cx.tolist(), "Cy": Cy.tolist(),
+        "cx": (lox + hix) / 2.0, "cy": (loy + hiy) / 2.0,
+        "sx": 2.0 / spanx, "sy": 2.0 / spany,
+        "zmid": zmid, "tol_c": 1e-5 * max(spanx, spany, 1e-3),
+        "iters": 6,
+    }
+
+
 def _optic_spec(optic, wavelength, per_ray_wl, mode="mc"):
     from xicsrt_tpu.optics.interactions import (
         InteractCrystal, InteractMirror, InteractMosaicCrystal, InteractNone,
     )
+    from xicsrt_tpu.optics.mesh_shapes import ShapeMesh
     from xicsrt_tpu.optics.shapes import (
         ShapeCylinder, ShapePlane, ShapeSphere, ShapeTorus,
     )
@@ -289,6 +394,9 @@ def _optic_spec(optic, wavelength, per_ray_wl, mode="mc"):
         spec["radius_minor"] = _f(p["radius_minor"])
         spec["major_adjust"] = _f(p["major_adjust"])
         spec["center_sign"] = _f(p["center_sign"])
+    elif isinstance(optic, ShapeMesh):
+        spec["shape"] = "cheb"
+        spec["cheb"] = _fit_cheb_surface(optic)
     else:
         raise FusedUnsupported(f"shape of {type(optic).__name__}")
 
@@ -487,6 +595,74 @@ def _trace_chain(optics, sub, keep_meta, keep_images, draw, count_into,
             t = (jnp.minimum(t0_, t1_) if o["convex"]
                  else jnp.maximum(t0_, t1_))
             t = jnp.where(m_int, t, 0.0)
+        elif o["shape"] == "cheb":
+            # Smooth mesh surrogate z = C_ij T_i(u) T_j(v) in the optic
+            # local frame (_fit_cheb_surface): Newton on
+            # F(t) = Olz + t Dlz - z(x(t), y(t)), coefficients unrolled as
+            # compile-time constants. The final evaluation yields the
+            # surface gradient, i.e. the (smoothly interpolated) normal.
+            ch = o["cheb"]
+            bxr_, byr_ = o["bx"], o["by"]
+            rx0, ry0, rz0 = px - p0[0], py - p0[1], pz - p0[2]
+            Olx = rx0 * bxr_[0] + ry0 * bxr_[1] + rz0 * bxr_[2]
+            Oly = rx0 * byr_[0] + ry0 * byr_[1] + rz0 * byr_[2]
+            Olz = rx0 * bz[0] + ry0 * bz[1] + rz0 * bz[2]
+            Dlx = dx * bxr_[0] + dy * bxr_[1] + dz * bxr_[2]
+            Dly = dx * byr_[0] + dy * byr_[1] + dz * byr_[2]
+            Dlz = dx * bz[0] + dy * bz[1] + dz * bz[2]
+            safe_dz = jnp.where(jnp.abs(Dlz) > 1e-9, Dlz, 1e-9)
+
+            def cheb_eval(coefs, Ti, Tj):
+                acc_ = None
+                for i_, row in enumerate(coefs):
+                    for j_, cc in enumerate(row):
+                        if cc == 0.0:
+                            continue
+                        term = cc * Ti[i_] * Tj[j_]
+                        acc_ = term if acc_ is None else acc_ + term
+                if acc_ is None:
+                    return jnp.zeros_like(Ti[0])
+                return acc_
+
+            def surface(t_):
+                hx = Olx + t_ * Dlx
+                hy = Oly + t_ * Dly
+                u_ = (hx - ch["cx"]) * ch["sx"]
+                v_ = (hy - ch["cy"]) * ch["sy"]
+                # Clip so divergent iterates keep the polynomial tame;
+                # the domain test below uses the unclipped values.
+                uc = jnp.clip(u_, -1.25, 1.25)
+                vc = jnp.clip(v_, -1.25, 1.25)
+                deg = ch["deg"]
+                Ti = [jnp.ones_like(uc), uc]
+                Tj = [jnp.ones_like(vc), vc]
+                for _k in range(deg - 1):
+                    Ti.append(2.0 * uc * Ti[-1] - Ti[-2])
+                    Tj.append(2.0 * vc * Tj[-1] - Tj[-2])
+                zs = cheb_eval(ch["C"], Ti, Tj)
+                zxs = cheb_eval(ch["Cx"], Ti, Tj)
+                zys = cheb_eval(ch["Cy"], Ti, Tj)
+                return u_, v_, zs, zxs, zys
+
+            t = (ch["zmid"] - Olz) / safe_dz
+            for _newton in range(ch["iters"]):
+                _, _, zs, zxs, zys = surface(t)
+                F = Olz + t * Dlz - zs
+                Fp = Dlz - zxs * Dlx - zys * Dly
+                Fp = jnp.where(jnp.abs(Fp) > 1e-9, Fp, 1e-9)
+                t = t - F / Fp
+            u_, v_, zs, zxs, zys = surface(t)
+            F = Olz + t * Dlz - zs
+            m_int = (alive & (jnp.abs(F) < ch["tol_c"]) & (t > 1e-6)
+                     & (jnp.abs(u_) <= 1.0) & (jnp.abs(v_) <= 1.0))
+            t = jnp.where(m_int, t, 0.0)
+            # Local gradient normal -> global frame (sign-free physics:
+            # reflection and |dot| Bragg tests are orientation-invariant).
+            inv = jax.lax.rsqrt(zxs * zxs + zys * zys + 1.0)
+            nlx, nly, nlz = -zxs * inv, -zys * inv, inv
+            nxv = nlx * bxr_[0] + nly * byr_[0] + nlz * bz[0]
+            nyv = nlx * bxr_[1] + nly * byr_[1] + nlz * bz[1]
+            nzv = nlx * bxr_[2] + nly * byr_[2] + nlz * bz[2]
         else:  # torus (optics/shapes.py ShapeTorus; kernel-safe quartic)
             from xicsrt_tpu.ops.polynomials import (
                 acos_kernel, solve_quartic_unsorted,
@@ -1426,7 +1602,7 @@ def build_fast_run(pipeline, num_iter: int | None = None,
     Tries the single-megakernel engine first (zero HBM traffic), falling
     back to the hybrid XLA-generate + fused-trace kernel when only the
     SOURCE is outside the megakernel subset. Raises ``FusedUnsupported``
-    when the optic chain itself is unsupported (mesh shapes, file rocking).
+    when the optic chain itself is unsupported (faceted/rough meshes).
 
     Returns ``(run, kind)`` with kind in {"fused", "fused_trace"}.
     """
