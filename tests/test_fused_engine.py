@@ -418,6 +418,30 @@ class TestWidenedSubset:
         _assert_binomial_close(
             int(out_f["meta"]["crystal"]), int(out_x["meta"]["crystal"]), n)
 
+    @pytest.mark.parametrize("convex", [[True, True], [True, False],
+                                        [False, True]])
+    def test_convex_torus_mirror(self, convex):
+        """The fused Newton torus solver on every convex-flag geometry
+        (regression guard for the quartic -> Newton swap)."""
+        n = 1 << 14
+        crystal = {
+            "class_name": "XicsrtOpticToroidalCrystal",
+            "origin": [0.0, 0.0, 0.5],
+            "zaxis": [0.0, 0.0, -1.0],
+            "xsize": 0.15, "ysize": 0.15,
+            "radius_major": 1.0, "radius_minor": 0.5,
+            "convex": convex, "check_bragg": False,
+            "crystal_spacing": 2.45676,
+        }
+        config = self._crystal_config(n, crystal)
+        config["sources"]["source"]["angular_dist"] = "isotropic"
+        config["sources"]["source"]["spread"] = np.radians(3.0)
+        del config["optics"]["detector"]
+        out_f, out_x = _run_both(config)
+        _assert_binomial_close(
+            int(out_f["meta"]["crystal"]), int(out_x["meta"]["crystal"]), n)
+        assert int(out_f["meta"]["crystal"]) > 0
+
     def test_convex_cylinder_mirror(self):
         n = 1 << 14
         crystal = {

@@ -60,9 +60,13 @@ def _config(crystal, intensity, num_iter, **general):
 
 
 def _plasma_config(intensity, num_iter):
-    # example_03 geometry; bundle_count scaled so the expected ray count
-    # matches `intensity` (emissivity*time*volume = 1e16*1e-3*bundle_volume
-    # per bundle -> 1e7 rays/bundle at 1e-6 m^3).
+    # time_resolution chosen so the EXPECTED photon count equals
+    # `intensity`: N = emissivity * t * volume * sin^2(spread/2)
+    # (cf. sources/plasma.py intensity formula and tests/test_plasma.py).
+    emissivity = 1e16
+    volume = 0.02**3
+    omega_frac = np.sin(np.radians(10.0) / 2.0) ** 2
+    t_res = intensity / (emissivity * volume * omega_frac)
     return {
         "general": {"number_of_iter": num_iter, "random_seed": 0,
                     "keep_history": False, "print_results": False},
@@ -73,15 +77,17 @@ def _plasma_config(intensity, num_iter):
                 "xsize": 0.02, "ysize": 0.02, "zsize": 0.02,
                 "target": [0.0, 0.0, 0.80374151],
                 "spread": np.radians(10.0),
-                "emissivity": 1e16,
+                "emissivity": emissivity,
                 "temperature": 1000.0,
                 "mass_number": 40.0,
                 "wavelength": 3.9492,
-                "time_resolution": intensity / 1e17,
+                "time_resolution": t_res,
                 "bundle_volume": 1e-6,
                 "bundle_count": 1000,
                 "use_poisson": True,
-                "max_rays": int(intensity * 1.2 + 1e5),
+                # The static budget carries headroom above the expectation
+                # (sources/plasma.py _estimate_budget); 1.5x covers it.
+                "max_rays": int(intensity * 1.5 + 1e5),
             }
         },
         "optics": {
@@ -158,8 +164,16 @@ def run_scenario(name, log2=None, num_iter=None):
 
         image_fn, pipeline = make_differentiable(config, num_iter=num_iter)
 
+        # Pixel-weighted loss: a plain sum(image) lets XLA dead-code
+        # -eliminate most of the trace (the bilinear splat's in-bounds sum
+        # barely depends on positions), inflating the measurement ~100x.
+        # Random fixed pixel weights force every per-pixel value (and its
+        # adjoint) to be computed — the shape of a real alignment loss.
+        nx, ny = pipeline.optics[-1].image_shape
+        pixel_w = jax.random.uniform(jax.random.key(42), (int(nx), int(ny)))
+
         def loss(params, key):
-            return jnp.sum(image_fn(params, key)["detector"])
+            return jnp.sum(image_fn(params, key)["detector"] * pixel_w)
 
         grad_fn = jax.grad(loss)
 

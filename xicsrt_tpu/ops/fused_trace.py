@@ -329,8 +329,11 @@ def _fit_cheb_surface(optic):
         "C": C.tolist(), "Cx": Cx.tolist(), "Cy": Cy.tolist(),
         "cx": (lox + hix) / 2.0, "cy": (loy + hiy) / 2.0,
         "sx": 2.0 / spanx, "sy": 2.0 / spany,
+        # Quadratic convergence from the mid-plane seed: the seed error is
+        # the surface sag (<~1e-2 * span), so 4 iterations land at f32
+        # roundoff with one to spare.
         "zmid": zmid, "tol_c": 1e-5 * max(spanx, spany, 1e-3),
-        "iters": 6,
+        "iters": 4,
     }
 
 
@@ -663,11 +666,16 @@ def _trace_chain(optics, sub, keep_meta, keep_images, draw, count_into,
             nxv = nlx * bxr_[0] + nly * byr_[0] + nlz * bz[0]
             nyv = nlx * bxr_[1] + nly * byr_[1] + nlz * bz[1]
             nzv = nlx * bxr_[2] + nly * byr_[2] + nlz * bz[2]
-        else:  # torus (optics/shapes.py ShapeTorus; kernel-safe quartic)
-            from xicsrt_tpu.ops.polynomials import (
-                acos_kernel, solve_quartic_unsorted,
-            )
-
+        else:  # torus (optics/shapes.py ShapeTorus)
+            # Newton on the implicit torus equation instead of the closed
+            # -form quartic: G(t) = (|xz|(t) - R)^2 + y(t)^2 - r^2 with the
+            # tangent-plane hit as the seed. The quartic path (Ferrari +
+            # polynomial arccos, used in round 2) costs ~3x more per ray
+            # and its root-selection rule ("positive root with minimal
+            # optic-local |z|") is exactly what Newton converges to from a
+            # near-patch seed on the shallow patches crystal optics are.
+            # Rays that miss leave |G| large (or t <= 0) and are masked;
+            # NaN iterates fail the comparisons.
             r_min = o["radius_minor"]
             r_maj = o["radius_major"] + o["major_adjust"] * r_min
             C = (p0[0] + o["center_sign"] * o["radius_major"] * bz[0],
@@ -682,43 +690,29 @@ def _trace_chain(optics, sub, keep_meta, keep_images, draw, count_into,
             Dlx = dx * bxr_[0] + dy * bxr_[1] + dz * bxr_[2]
             Dly = dx * byr_[0] + dy * byr_[1] + dz * byr_[2]
             Dlz = dx * bz[0] + dy * bz[1] + dz * bz[2]
-            # Shift to the closest approach: conditions the f32 quartic.
-            t_shift = -(Olx * Dlx + Oly * Dly + Olz * Dlz)
-            Olx = Olx + t_shift * Dlx
-            Oly = Oly + t_shift * Dly
-            Olz = Olz + t_shift * Dlz
-            o2_ = Olx * Olx + Oly * Oly + Olz * Olz
-            od_ = Olx * Dlx + Oly * Dly + Olz * Dlz
-            r2_ = r_maj * r_maj + r_min * r_min
-            c0_ = jnp.ones_like(o2_)
-            c1_ = 4.0 * od_
-            c2_ = (4.0 * od_ * od_ + 2.0 * o2_ - 2.0 * r2_
-                   + 4.0 * r_maj**2 * Dly * Dly)
-            c3_ = 4.0 * od_ * (o2_ - r2_) + 8.0 * r_maj**2 * Dly * Oly
-            c4_ = (o2_ * o2_ - 2.0 * r2_ * o2_
-                   + 4.0 * r_maj**2 * Oly * Oly
-                   + (r_maj**2 - r_min**2) ** 2)
-            roots = solve_quartic_unsorted(
-                c0_, c1_, c2_, c3_, c4_, acos=acos_kernel)
-            # Root selection: positive real hit with minimal |local z|
-            # (the optic patch containing the frame origin) — same rule
-            # as the XLA path.
+            # Seed: intersection with the optic tangent plane at p0.
             z0_ = ((px - p0[0]) * bz[0] + (py - p0[1]) * bz[1]
                    + (pz - p0[2]) * bz[2])
-            zd_ = Dlz
-            t = jnp.zeros_like(o2_)
-            best = jnp.full_like(o2_, 3.4e38)
-            any_valid = jnp.zeros_like(o2_, dtype=jnp.bool_)
-            for rroot in roots:
-                cand = rroot + t_shift
-                # NaN-safe: NaN fails both comparisons.
-                v_ = (cand > 1e-6) & (cand < 3.4e38) & (cand == cand)
-                score = jnp.where(v_, jnp.abs(z0_ + cand * zd_), 3.4e38)
-                better = score < best
-                best = jnp.where(better, score, best)
-                t = jnp.where(better, cand, t)
-                any_valid = any_valid | v_
-            m_int = alive & any_valid
+            zd_safe = jnp.where(jnp.abs(Dlz) > 1e-9, Dlz, 1e-9)
+            t = -z0_ / zd_safe
+            for _newton in range(6):
+                X_ = Olx + t * Dlx
+                Y_ = Oly + t * Dly
+                Z_ = Olz + t * Dlz
+                rho = jnp.sqrt(jnp.maximum(X_ * X_ + Z_ * Z_, 1e-30))
+                G = (rho - r_maj) ** 2 + Y_ * Y_ - r_min * r_min
+                Gp = (2.0 * (rho - r_maj) / rho * (X_ * Dlx + Z_ * Dlz)
+                      + 2.0 * Y_ * Dly)
+                Gp = jnp.where(jnp.abs(Gp) > 1e-12, Gp, 1e-12)
+                t = t - G / Gp
+            X_ = Olx + t * Dlx
+            Y_ = Oly + t * Dly
+            Z_ = Olz + t * Dlz
+            rho = jnp.sqrt(jnp.maximum(X_ * X_ + Z_ * Z_, 1e-30))
+            G = (rho - r_maj) ** 2 + Y_ * Y_ - r_min * r_min
+            # |G| ~ 2 r_min * (distance error) near the surface.
+            tol_g = 2.0 * r_min * 1e-5 * max(1.0, r_maj)
+            m_int = alive & (jnp.abs(G) < tol_g) & (t > 1e-6)
             t = jnp.where(m_int, t, 0.0)
 
         qx = jnp.where(m_int, px + t * dx, px)
