@@ -59,6 +59,35 @@ class TestPlasmaPhotonAccounting:
         assert expected > 1000  # the test must have statistics to mean much
         assert abs(n_gen - expected) < 5 * np.sqrt(expected)
 
+    def test_matmul_gather_matches_gather(self):
+        """The MXU interval-one-hot bundle gather (bundle_gather='matmul',
+        the TPU fast path) produces bit-identical rays to the indexed
+        gather: one-hot rows select exactly one f32 table row, so the
+        HIGHEST-precision contraction is exact."""
+        import jax
+
+        from xicsrt_tpu.engine import Pipeline
+
+        rays = {}
+        for mode in ("gather", "matmul"):
+            config = _plasma_config(
+                bundle_gather=mode, temperature=300.0,
+                velocity=[1e4, 0.0, 2e4],
+            )
+            pipe = Pipeline(config)
+            name = pipe.source.name
+            rays[mode] = jax.tree_util.tree_map(
+                np.asarray,
+                pipe.generate(pipe.params["sources"][name],
+                              pipe.params["filters"], jax.random.key(3)),
+            )
+        g, m = rays["gather"], rays["matmul"]
+        assert np.array_equal(g.mask, m.mask)
+        keep = g.mask
+        np.testing.assert_array_equal(g.origin[keep], m.origin[keep])
+        np.testing.assert_array_equal(g.direction[keep], m.direction[keep])
+        np.testing.assert_array_equal(g.wavelength[keep], m.wavelength[keep])
+
     def test_all_rays_reach_big_detector(self):
         # Cone aimed at a 4x4 m detector 1 m away: tan(60 deg)*~1.06 < 2.
         results = xicsrt_tpu.raytrace(_plasma_config())

@@ -647,16 +647,23 @@ def _trace_chain(optics, sub, keep_meta, keep_images, draw, count_into,
                 zys = cheb_eval(ch["Cy"], Ti, Tj)
                 return u_, v_, zs, zxs, zys
 
+            # Convergence is judged by the LAST Newton step instead of a
+            # final re-evaluation (quadratic convergence: |step_k| bounds
+            # |t - root| once converging) — one fewer surface evaluation.
+            # The gradient/normal is one converged step stale: position
+            # error < tol_c (1e-5*span) maps to a normal error below
+            # curvature * tol_c ~ 1e-6 rad, far under any rocking width.
             t = (ch["zmid"] - Olz) / safe_dz
+            step = jnp.zeros_like(t)
+            u_ = v_ = zxs = zys = None
             for _newton in range(ch["iters"]):
-                _, _, zs, zxs, zys = surface(t)
+                u_, v_, zs, zxs, zys = surface(t)
                 F = Olz + t * Dlz - zs
                 Fp = Dlz - zxs * Dlx - zys * Dly
                 Fp = jnp.where(jnp.abs(Fp) > 1e-9, Fp, 1e-9)
-                t = t - F / Fp
-            u_, v_, zs, zxs, zys = surface(t)
-            F = Olz + t * Dlz - zs
-            m_int = (alive & (jnp.abs(F) < ch["tol_c"]) & (t > 1e-6)
+                step = F / Fp
+                t = t - step
+            m_int = (alive & (jnp.abs(step) < ch["tol_c"]) & (t > 1e-6)
                      & (jnp.abs(u_) <= 1.0) & (jnp.abs(v_) <= 1.0))
             t = jnp.where(m_int, t, 0.0)
             # Local gradient normal -> global frame (sign-free physics:
@@ -695,7 +702,8 @@ def _trace_chain(optics, sub, keep_meta, keep_images, draw, count_into,
                    + (pz - p0[2]) * bz[2])
             zd_safe = jnp.where(jnp.abs(Dlz) > 1e-9, Dlz, 1e-9)
             t = -z0_ / zd_safe
-            for _newton in range(6):
+            step = jnp.zeros_like(t)
+            for _newton in range(5):
                 X_ = Olx + t * Dlx
                 Y_ = Oly + t * Dly
                 Z_ = Olz + t * Dlz
@@ -704,15 +712,13 @@ def _trace_chain(optics, sub, keep_meta, keep_images, draw, count_into,
                 Gp = (2.0 * (rho - r_maj) / rho * (X_ * Dlx + Z_ * Dlz)
                       + 2.0 * Y_ * Dly)
                 Gp = jnp.where(jnp.abs(Gp) > 1e-12, Gp, 1e-12)
-                t = t - G / Gp
-            X_ = Olx + t * Dlx
-            Y_ = Oly + t * Dly
-            Z_ = Olz + t * Dlz
-            rho = jnp.sqrt(jnp.maximum(X_ * X_ + Z_ * Z_, 1e-30))
-            G = (rho - r_maj) ** 2 + Y_ * Y_ - r_min * r_min
-            # |G| ~ 2 r_min * (distance error) near the surface.
-            tol_g = 2.0 * r_min * 1e-5 * max(1.0, r_maj)
-            m_int = alive & (jnp.abs(G) < tol_g) & (t > 1e-6)
+                step = G / Gp
+                t = t - step
+            # Converged iff the last Newton step is tiny (quadratic
+            # convergence); the hit-point normal below uses the final t,
+            # so it carries no staleness.
+            m_int = alive & (jnp.abs(step) < 1e-5 * max(1.0, r_maj)) \
+                & (t > 1e-6)
             t = jnp.where(m_int, t, 0.0)
 
         qx = jnp.where(m_int, px + t * dx, px)
