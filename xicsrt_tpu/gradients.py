@@ -31,12 +31,19 @@ from xicsrt_tpu.config import update_config
 from xicsrt_tpu.engine import Pipeline
 
 
-def make_differentiable(config: dict, num_iter: int | None = None):
+def make_differentiable(config: dict, num_iter: int | None = None,
+                        remat: bool | None = None):
     """Build a differentiable forward: ``images(params, key) -> dict``.
 
     Forces weight-mode interactions and bilinear imaging. Returns
     ``(image_fn, pipeline)``; differentiate with ``jax.grad`` over any leaf
     of ``pipeline.params``.
+
+    ``remat`` checkpoints each iteration so the backward pass recomputes
+    the trace instead of storing per-ray residuals (memory flat in batch
+    size and iteration count, ~1.5-2x backward compute). Default: on when
+    the total ray count exceeds 2^24 (residuals ~30 arrays x 4 B/ray would
+    approach HBM capacity), off below it.
     """
     import copy
 
@@ -47,10 +54,10 @@ def make_differentiable(config: dict, num_iter: int | None = None):
     general["keep_history"] = False
     pipeline = Pipeline(config)
     n_iter = num_iter or int(pipeline.general["number_of_iter"])
-    # Checkpointed iterations: backward recomputes the trace, keeping
-    # memory flat in the number of iterations and the batch size.
+    if remat is None:
+        remat = pipeline.num_rays * n_iter > (1 << 24)
     run = pipeline.make_run(
-        n_iter, keep_history=False, keep_images=True, remat=True
+        n_iter, keep_history=False, keep_images=True, remat=remat
     )
 
     def image_fn(params, key):
