@@ -573,7 +573,7 @@ class TestMeshSurrogate:
         }}
         pipe = Pipeline(config)
         run, kind = build_fast_run(pipe, interpret=True, chunk=4096)
-        assert kind == "fused_trace"
+        assert kind == "fused"
         out = jax.tree_util.tree_map(np.asarray, run(jax.random.key(0)))
         assert int(out["meta"]["plasma"]) > 0
         assert int(out["meta"]["crystal"]) > 0
@@ -691,8 +691,9 @@ class TestModesParity:
 
 
 class TestFusedTraceHybrid:
-    """Trace-only kernel: XLA generation (plasma/filtered sources) + the
-    shared Pallas optic chain, streamed from HBM."""
+    """Plasma sources on the fused paths: the in-kernel bundle sampler
+    (megakernel, round-3) and the trace-only streaming kernel (fallback
+    for ray-filtered sources and >4096 bundles)."""
 
     def _plasma_config(self, **crystal_overrides):
         crystal = {
@@ -738,7 +739,7 @@ class TestFusedTraceHybrid:
 
         pipe = Pipeline(self._plasma_config())
         run, kind = build_fast_run(pipe, interpret=True, chunk=4096)
-        assert kind == "fused_trace"
+        assert kind == "fused"  # in-kernel bundle sampling
         out = jax.tree_util.tree_map(np.asarray, run(jax.random.key(0)))
         n = int(out["meta"]["plasma"])
         # Physical photon count (cf. tests/test_plasma.py).
@@ -764,7 +765,7 @@ class TestFusedTraceHybrid:
         config["general"]["number_of_iter"] = 3
         pipe = Pipeline(config)
         run, kind = build_fast_run(pipe, interpret=True, chunk=4096)
-        assert kind == "fused_trace"
+        assert kind == "fused"
         out = jax.tree_util.tree_map(np.asarray, run(jax.random.key(0)))
         n = int(out["meta"]["plasma"])
         expected = 3 * 2e13 * 1e-3 * 0.02**3 * np.sin(
@@ -786,6 +787,44 @@ class TestFusedTraceHybrid:
         n = results["total"]["meta"]["plasma"]["num_out"]
         expected = 2e12 * 1e-3 * 0.02**3 * np.sin(np.radians(10.0) / 2) ** 2
         assert abs(n - expected) < 6 * np.sqrt(expected), (n, expected)
+
+    def test_trace_only_kernel_directly(self):
+        """The streaming trace-only kernel (fallback path for ray-filtered
+        sources / >4096 bundles) stays correct even though plasma now
+        routes to the megakernel."""
+        from xicsrt_tpu.ops.fused_trace import build_fused_trace_run
+
+        pipe = Pipeline(self._plasma_config())
+        run = build_fused_trace_run(pipe, interpret=True, chunk=4096)
+        out = jax.tree_util.tree_map(np.asarray, run(jax.random.key(0)))
+        n = int(out["meta"]["plasma"])
+        expected = 2e12 * 1e-3 * 0.02**3 * np.sin(np.radians(10.0) / 2) ** 2
+        assert abs(n - expected) < 6 * np.sqrt(expected), (n, expected)
+        assert out["image"]["detector"].sum() == int(out["meta"]["detector"])
+
+    def test_inkernel_plasma_statistics_vs_xla(self):
+        """In-kernel bundle sampling matches the XLA engine's plasma
+        photon statistics and Bragg throughput (larger stats)."""
+        config = self._plasma_config(rocking_fwhm=1e-3)
+        config["sources"]["plasma"]["emissivity"] = 4e14
+        config["sources"]["plasma"]["temperature"] = 300.0
+        config["sources"]["plasma"]["velocity"] = [0.0, 1e4, 0.0]
+        from xicsrt_tpu.ops.fused_trace import build_fast_run
+
+        pipe = Pipeline(config)
+        run, kind = build_fast_run(pipe, interpret=True, chunk=4096)
+        assert kind == "fused"
+        out = jax.tree_util.tree_map(np.asarray, run(jax.random.key(5)))
+        it = pipe.make_iteration(keep_history=False, keep_images=True)
+        out_x = jax.tree_util.tree_map(
+            np.asarray, it(pipe.params, jax.random.key(6)))
+        n = int(out["meta"]["plasma"])
+        _assert_binomial_close(n, int(out_x["meta"]["plasma"]),
+                               2 * max(n, 1))
+        for name in ("crystal", "detector"):
+            _assert_binomial_close(
+                int(out["meta"][name]), int(out_x["meta"][name]), n)
+        assert int(out["meta"]["detector"]) > 50
 
 
 class TestEngineRouting:

@@ -73,6 +73,8 @@ class Pipeline:
             filter_fns.append((fname, filter_map[fname].make_filter()))
 
         self.generate = self.source.make_generate(filter_fns)
+        # Kept for builders that re-wire source sampling (fused engine).
+        self.source_filter_fns = filter_fns
         self.optic_traces = [(o.name, o.make_trace()) for o in self.optics]
 
         self.params = {

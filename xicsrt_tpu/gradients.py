@@ -27,7 +27,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from xicsrt_tpu.config import update_config
 from xicsrt_tpu.engine import Pipeline
 
 
@@ -118,8 +117,6 @@ def align(
         return trainable
 
     def merge_params(params, trainable):
-        import copy as _copy
-
         out = dict(params)
 
         def _merge(dst, src):

@@ -54,7 +54,6 @@ Reference hot loops this replaces: ``_TraceObject.py:157-291``,
 
 from __future__ import annotations
 
-import functools
 import math
 
 import numpy as np
@@ -101,9 +100,7 @@ def _source_spec(source):
     from xicsrt_tpu.sources.plasma import PlasmaGeneric
 
     if isinstance(source, PlasmaGeneric):
-        raise FusedUnsupported(
-            "plasma sources (bundle sampling; use the fused trace-only path)"
-        )
+        return _plasma_spec(source)
     p = source.param
     filters = p.get("filters")
     if filters is not None and len(filters) > 0:
@@ -230,6 +227,53 @@ def _source_spec(source):
         spec["rot"] = tuple(_v3(r) for r in np.stack([o2, o1, d]))
         spec["target"] = None
     return spec
+
+
+def _plasma_spec(source):
+    """Build-time extraction for plasma (bundle) sources.
+
+    The O(bundle_count) stage — bundle origins, profiles, filters, photon
+    rates, Poisson counts — runs in XLA per iteration
+    (``plasma.make_bundle_tables``); the kernel receives per-iteration
+    cumulative-count and attribute tables and does the per-ray work:
+    interval-one-hot bundle gather on the MXU (the in-kernel twin of
+    ``ops/bundle_gather.py``), voxel offsets, focused-cone directions,
+    exact-Voigt wavelengths, Doppler. Cf. the reference's per-bundle
+    Python loop ``_XicsrtPlasmaGeneric.py:286-345``.
+    """
+    p = source.param
+    B = int(source.bundle_count)
+    if B > 4096:
+        raise FusedUnsupported(
+            f"bundle_count {B} > 4096 (in-kernel gather is O(rays * "
+            "bundles); use the hybrid trace path)"
+        )
+    w0 = _f(p["wavelength"])
+    mass_number = _f(p["mass_number"])
+    # sigma = sigma_conv * sqrt(temp [eV]) (sources/plasma.py:354-361).
+    c_light = 299792458.0
+    sigma_conv = math.sqrt(
+        1.602176634e-19 / (mass_number * 1.66053906892e-27 * c_light**2)
+    ) * w0
+    frame = source.frame
+    basis = np.asarray(frame.basis, dtype=np.float64)
+    voxel = float(source.voxel_size)
+    n_draws = (3 if voxel > 0.0 else 0) + 2 + 1
+    gamma = float(source.gamma)
+    if gamma > 0.0:
+        n_draws += 1
+    return {
+        "type": "plasma",
+        "n_draws": n_draws,
+        "B": B,
+        "B_pad": _round_up(max(B, 128), 128),
+        "voxel": voxel,
+        "basis": tuple(_v3(r) for r in basis),
+        "target": _v3(np.asarray(p["target"], dtype=np.float64)),
+        "wavelength": w0,
+        "sigma_conv": sigma_conv,
+        "gamma": gamma,
+    }
 
 
 def _fit_cheb_surface(optic):
@@ -1045,24 +1089,42 @@ def build_fused_run(pipeline, num_iter: int | None = None,
         raise FusedUnsupported("dtype != float32")
 
     src = _source_spec(pipeline.source)
+    is_plasma = src.get("type") == "plasma"
     # Per-ray wavelengths are materialized only when something varies them.
-    per_ray_wl = src["wave"][0] != "mono" or src["velocity"] is not None
+    per_ray_wl = (True if is_plasma
+                  else src["wave"][0] != "mono"
+                  or src["velocity"] is not None)
     optics = [_optic_spec(o, src["wavelength"], per_ray_wl, mode)
               for o in pipeline.optics]
     tables = _collect_tables(optics)
     if num_iter is None:
         num_iter = int(g["number_of_iter"])
-    n_total = pipeline.num_rays * num_iter
+    if chunk % (8 * 128) != 0:
+        raise ValueError("chunk must be a multiple of 1024")
+    N_budget = pipeline.num_rays
+    if is_plasma:
+        # The in-kernel bundle gather's windowed one-hot tiles put the
+        # plasma kernel's scoped-VMEM peak well above the generic one;
+        # chunk 8192 overflows the 16M scoped limit (measured 23.2M).
+        chunk = min(chunk, 4096)
+        # Iterations keep their own bundle samples (per-iteration tables
+        # selected by the grid index map), so the photon statistics match
+        # the XLA engine's per-iteration resampling exactly.
+        n_per_iter = _round_up(N_budget, chunk)
+        chunks_per_iter = n_per_iter // chunk
+        n_chunks = num_iter * chunks_per_iter
+        n_total = n_per_iter * num_iter
+    else:
+        n_total = N_budget * num_iter
+        n_chunks = -(-n_total // chunk)
+        chunks_per_iter = 0
     if n_total >= 2**31:
         # ray_index and the meta counters are int32; beyond 2^31 they would
         # silently wrap (corrupting the alive mask), so fail loudly.
         raise FusedUnsupported(
             f"num_rays*num_iter = {n_total:.3e} overflows int32 ray indexing"
         )
-    n_chunks = -(-n_total // chunk)
     sub = chunk // 8
-    if chunk % (8 * 128) != 0:
-        raise ValueError("chunk must be a multiple of 1024")
 
     images = [(i, o["image"]) for i, o in enumerate(optics) if o["image"]]
     n_elems = 1 + len(optics)
@@ -1086,7 +1148,9 @@ def build_fused_run(pipeline, num_iter: int | None = None,
     # through SMEM; the kernel masks rays beyond it. Sum of per-iteration
     # Poisson(rate) draws == one Poisson(rate*num_iter) draw in
     # distribution, so a single scalar suffices for the whole run.
-    poisson_rate = src["rate"] * num_iter if src["poisson"] else None
+    # (Plasma totals come via the per-iteration bundle tables instead.)
+    poisson_rate = (src["rate"] * num_iter
+                    if not is_plasma and src["poisson"] else None)
 
     f32 = jnp.float32
 
@@ -1095,6 +1159,8 @@ def build_fused_run(pipeline, num_iter: int | None = None,
             rng_ref, *rest = refs
         else:
             rest = list(refs)
+        if is_plasma:
+            cum_prev_ref, cum_ref, btable_ref, *rest = rest
         table_refs = rest[:len(tables)]
         counts_ref, *image_refs = rest[len(tables):]
         step = pl.program_id(0)
@@ -1134,11 +1200,17 @@ def build_fused_run(pipeline, num_iter: int | None = None,
 
         rows = jax.lax.broadcasted_iota(jnp.int32, (8, sub), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (8, sub), 1)
-        ray_index = step * chunk + rows * sub + cols
-        if poisson_rate is not None:
-            alive = ray_index < seed_ref[2]
+        if is_plasma:
+            # Iteration-LOCAL ray index; aliveness falls out of the
+            # bundle-interval gather (intervals tile [0, total_iter)).
+            ray_index = (jax.lax.rem(step, np.int32(chunks_per_iter))
+                         * chunk + rows * sub + cols)
         else:
-            alive = ray_index < n_total
+            ray_index = step * chunk + rows * sub + cols
+            if poisson_rate is not None:
+                alive = ray_index < seed_ref[2]
+            else:
+                alive = ray_index < n_total
 
         def count_into(elem, alive):
             c = jnp.sum(alive.astype(jnp.int32))
@@ -1147,119 +1219,55 @@ def build_fused_run(pipeline, num_iter: int | None = None,
             sel = ((crow == 0) & (ccol == elem)).astype(jnp.int32)
             counts_ref[:] += c * sel
 
-        # ---- source: position ------------------------------------------
-        ox, oy, oz = src["origin"]
-        B = src["basis"]
-        if src["spatial"] == "point":
-            px = jnp.full((8, sub), ox, f32)
-            py = jnp.full((8, sub), oy, f32)
-            pz = jnp.full((8, sub), oz, f32)
-        else:
-            offs = []
-            for s in src["sizes"]:
-                if s == 0.0:
-                    offs.append(None)
-                elif src["spatial"] == "uniform":
-                    offs.append((draw() - 0.5) * s)
-                else:  # gaussian (s is already sigma)
-                    offs.append(normal_draw() * s)
-            px = jnp.full((8, sub), ox, f32)
-            py = jnp.full((8, sub), oy, f32)
-            pz = jnp.full((8, sub), oz, f32)
-            for o_l, brow in zip(offs, B):
-                if o_l is not None:
-                    px += o_l * brow[0]
-                    py += o_l * brow[1]
-                    pz += o_l * brow[2]
-
-        # ---- source: direction (local z-aligned frame) ------------------
-        dist = src["dist"]
-        if dist[0] == "isotropic":
-            cos_t = dist[1]
-            u, v = draw(), draw()
-            lz = cos_t + u * (1.0 - cos_t)
-            rho = jnp.sqrt(jnp.maximum(1.0 - lz * lz, 0.0))
-            phi = v * (2.0 * math.pi)
-            lx = rho * jnp.cos(phi)
-            ly = rho * jnp.sin(phi)
-        elif dist[0] == "isotropic_xy":
-            # Closed-form inverse CDF (ops/spread.py:107-143), symmetric-y.
-            _, g0, g1, sb1, tyl, tyh = dist
-            u, v = draw(), draw()
-            sx = jnp.sin((g0 + u * (g1 - g0)) * 0.5) / sb1
-            tx = sx * jax.lax.rsqrt(jnp.maximum(1.0 - sx * sx, 1e-12))
-            k2 = 1.0 + tx * tx
-            h0 = tyl * jax.lax.rsqrt(k2 + tyl * tyl)
-            h1 = tyh * jax.lax.rsqrt(k2 + tyh * tyh)
-            h = h0 + v * (h1 - h0)
-            ty = jnp.sqrt(k2) * h * jax.lax.rsqrt(
-                jnp.maximum(1.0 - h * h, 1e-12)
-            )
-            w = jax.lax.rsqrt(1.0 + tx * tx + ty * ty)
-            lx, ly, lz = tx * w, ty * w, w
-        elif dist[0] == "isotropic_xy_asym":
-            # Asymmetric y-bounds: bracket-clamped Newton on the
-            # arcsin-difference marginal CDF (ops/spread.py:116-128), with
-            # arcsin(x) = pi/2 - acos_kernel(x) (Mosaic has no asin/acos
-            # lowering). 12 iterations match the XLA sampler's default.
-            from xicsrt_tpu.ops.polynomials import acos_kernel
-
-            _, sx0, sx1, sb0, sb1, g0, g1, tyl, tyh = dist
-
-            def asin_k(x):
-                return math.pi / 2.0 - acos_kernel(
-                    jnp.clip(x, -1.0, 1.0))
-
-            u, v = draw(), draw()
-            target = g0 + u * (g1 - g0)
-            sx = sx0 + u * (sx1 - sx0)
-            for _ in range(12):
-                gm = asin_k(sx * sb1) - asin_k(sx * sb0)
-                dg = sb1 * jax.lax.rsqrt(jnp.maximum(
-                    1.0 - (sx * sb1) ** 2, 1e-12)) - sb0 * jax.lax.rsqrt(
-                    jnp.maximum(1.0 - (sx * sb0) ** 2, 1e-12))
-                sx = jnp.clip(
-                    sx - (gm - target) / jnp.maximum(dg, 1e-12), sx0, sx1)
-            tx = sx * jax.lax.rsqrt(jnp.maximum(1.0 - sx * sx, 1e-12))
-            k2 = 1.0 + tx * tx
-            h0 = tyl * jax.lax.rsqrt(k2 + tyl * tyl)
-            h1 = tyh * jax.lax.rsqrt(k2 + tyh * tyh)
-            h = h0 + v * (h1 - h0)
-            ty = jnp.sqrt(k2) * h * jax.lax.rsqrt(
-                jnp.maximum(1.0 - h * h, 1e-12)
-            )
-            w = jax.lax.rsqrt(1.0 + tx * tx + ty * ty)
-            lx, ly, lz = tx * w, ty * w, w
-        elif dist[0] == "flat":
-            # r = tan(theta) sqrt(u) on the z=1 plane (ops/spread.py:157).
-            r = dist[1] * jnp.sqrt(draw())
-            phi = draw() * (2.0 * math.pi)
-            w = jax.lax.rsqrt(1.0 + r * r)
-            lx = jnp.cos(phi) * r * w
-            ly = jnp.sin(phi) * r * w
-            lz = w
-        elif dist[0] == "flat_xy":
-            _, t0, t1, t2, t3 = dist
-            x = t0 + draw() * (t1 - t0)
-            y = t2 + draw() * (t3 - t2)
-            w = jax.lax.rsqrt(1.0 + x * x + y * y)
-            lx, ly, lz = x * w, y * w, w
-        else:  # flat_gaussian
-            sig = dist[1]
-            x = sig * normal_draw()
-            y = sig * normal_draw()
-            w = jax.lax.rsqrt(1.0 + x * x + y * y)
-            lx, ly, lz = x * w, y * w, w
-
-        if src["rot"] is not None:
-            R = src["rot"]
-            dx = lx * R[0][0] + ly * R[1][0] + lz * R[2][0]
-            dy = lx * R[0][1] + ly * R[1][1] + lz * R[2][1]
-            dz = lx * R[0][2] + ly * R[1][2] + lz * R[2][2]
-        else:
-            # Focused source: per-ray emission axis n = (target - p)/|.|,
-            # per-ray basis o1 = cross(n, bx) + cross(n, bz), o2 = cross(n,
-            # o1) (vec.orthogonal_basis / _XicsrtSourceGeneric.py:282-292).
+        if is_plasma:
+            # ---- plasma source: in-kernel bundle sampling ---------------
+            # Interval-one-hot gather of the 8 per-bundle attributes
+            # (origin xyz, spread, temperature, velocity xyz) — the
+            # in-kernel twin of ops/bundle_gather.py. Bundles whose
+            # interval covers this ray set matched=1; intervals tile
+            # [0, total) contiguously, so matched == (ray < total).
+            # The bundle axis is processed in static windows so the live
+            # one-hot tile stays (W, sub) — the full (B_pad, sub) tile at
+            # chunk 8192 overflows scoped VMEM.
+            W = min(src["B_pad"], 256)
+            acc = [jnp.zeros((8, sub), f32) for _ in range(8)]
+            matched = jnp.zeros((8, sub), f32)
+            for s in range(8):
+                idxs = ray_index[s, :][None, :]  # (1, sub)
+                val = jnp.zeros((8, sub), f32)
+                m_s = jnp.zeros((1, sub), f32)
+                for w0 in range(0, src["B_pad"], W):
+                    cum_col = cum_ref[w0:w0 + W, :]        # (W, 1) int32
+                    cum_prev_col = cum_prev_ref[w0:w0 + W, :]
+                    oh = ((idxs >= cum_prev_col)
+                          & (idxs < cum_col)).astype(f32)
+                    val = val + jax.lax.dot_general(
+                        btable_ref[:, w0:w0 + W], oh,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=f32,
+                    )  # (8, sub)
+                    m_s = m_s + jnp.sum(oh, axis=0)[None, :]
+                sel = rows == s
+                matched = matched + jnp.where(sel, m_s, 0.0)
+                for k in range(8):
+                    acc[k] = acc[k] + jnp.where(sel, val[k][None, :], 0.0)
+            alive = (matched > 0.5) & (ray_index < N_budget)
+            px, py, pz = acc[0], acc[1], acc[2]
+            theta_b = acc[3]
+            temp_b = acc[4]
+            velx_b, vely_b, velz_b = acc[5], acc[6], acc[7]
+            Bb = src["basis"]
+            if src["voxel"] > 0.0:
+                # Voxel offsets in the source frame (plasma.py voxel_off).
+                h = src["voxel"]
+                vx = (draw() - 0.5) * h
+                vy = (draw() - 0.5) * h
+                vz = (draw() - 0.5) * h
+                px = px + vx * Bb[0][0] + vy * Bb[1][0] + vz * Bb[2][0]
+                py = py + vx * Bb[0][1] + vy * Bb[1][1] + vz * Bb[2][1]
+                pz = pz + vx * Bb[0][2] + vy * Bb[1][2] + vz * Bb[2][2]
+            # Isotropic cone (per-ray half-angle) aimed at the target,
+            # per-ray basis as vec.orthogonal_basis (plasma.py:338-351).
             tx_, ty_, tz_ = src["target"]
             nx_ = tx_ - px
             ny_ = ty_ - py
@@ -1267,9 +1275,9 @@ def build_fused_run(pipeline, num_iter: int | None = None,
             inv = jax.lax.rsqrt(jnp.maximum(
                 nx_ * nx_ + ny_ * ny_ + nz_ * nz_, 1e-30))
             nx_, ny_, nz_ = nx_ * inv, ny_ * inv, nz_ * inv
-            hx = B[0][0] + B[2][0]
-            hy = B[0][1] + B[2][1]
-            hz = B[0][2] + B[2][2]
+            hx = Bb[0][0] + Bb[2][0]
+            hy = Bb[0][1] + Bb[2][1]
+            hz = Bb[0][2] + Bb[2][2]
             o1x = ny_ * hz - nz_ * hy
             o1y = nz_ * hx - nx_ * hz
             o1z = nx_ * hy - ny_ * hx
@@ -1279,31 +1287,183 @@ def build_fused_run(pipeline, num_iter: int | None = None,
             o2x = ny_ * o1z - nz_ * o1y
             o2y = nz_ * o1x - nx_ * o1z
             o2z = nx_ * o1y - ny_ * o1x
+            u, v = draw(), draw()
+            lz = 1.0 - u * (1.0 - jnp.cos(theta_b))
+            rho = jnp.sqrt(jnp.maximum(1.0 - lz * lz, 0.0))
+            phi = v * (2.0 * math.pi)
+            lx = rho * jnp.cos(phi)
+            ly = rho * jnp.sin(phi)
             dx = lx * o2x + ly * o1x + lz * nx_
             dy = lx * o2y + ly * o1y + lz * ny_
             dz = lx * o2z + ly * o1z + lz * nz_
-
-        # ---- source: wavelength ----------------------------------------
-        wave = src["wave"]
-        if not per_ray_wl:
-            wl = None
+            # Exact Voigt: Gauss(Doppler sigma(T)) + Cauchy(gamma), then
+            # bulk-velocity Doppler (plasma.py:353-366).
+            wl = src["wavelength"] + src["sigma_conv"] * jnp.sqrt(
+                jnp.maximum(temp_b, 0.0)) * normal_draw()
+            if src["gamma"] > 0.0:
+                uc = jnp.clip(draw(), 1e-7, 1.0 - 1e-7)
+                wl = wl + src["gamma"] * jnp.tan(math.pi * (uc - 0.5))
+            c_inv = 1.0 / 299792458.0
+            wl = wl * (1.0 - (velx_b * dx + vely_b * dy
+                              + velz_b * dz) * c_inv)
         else:
-            if wave[0] == "mono":
-                wl = jnp.full((8, sub), wave[1], f32)
-            elif wave[0] == "uniform":
-                wl = wave[1] + draw() * (wave[2] - wave[1])
-            else:  # voigt: exact Gauss + Cauchy decomposition
-                _, w0_, sigma_, gamma_ = wave
-                wl = jnp.full((8, sub), w0_, f32)
-                if sigma_ > 0.0:
-                    wl = wl + sigma_ * normal_draw()
-                if gamma_ > 0.0:
-                    uc = jnp.clip(draw(), 1e-7, 1.0 - 1e-7)
-                    wl = wl + gamma_ * jnp.tan(math.pi * (uc - 0.5))
-            if src["velocity"] is not None:
-                vx_, vy_, vz_ = src["velocity"]
-                c_inv = 1.0 / 299792458.0
-                wl = wl * (1.0 - (vx_ * dx + vy_ * dy + vz_ * dz) * c_inv)
+            # ---- source: position ------------------------------------------
+            ox, oy, oz = src["origin"]
+            B = src["basis"]
+            if src["spatial"] == "point":
+                px = jnp.full((8, sub), ox, f32)
+                py = jnp.full((8, sub), oy, f32)
+                pz = jnp.full((8, sub), oz, f32)
+            else:
+                offs = []
+                for s in src["sizes"]:
+                    if s == 0.0:
+                        offs.append(None)
+                    elif src["spatial"] == "uniform":
+                        offs.append((draw() - 0.5) * s)
+                    else:  # gaussian (s is already sigma)
+                        offs.append(normal_draw() * s)
+                px = jnp.full((8, sub), ox, f32)
+                py = jnp.full((8, sub), oy, f32)
+                pz = jnp.full((8, sub), oz, f32)
+                for o_l, brow in zip(offs, B):
+                    if o_l is not None:
+                        px += o_l * brow[0]
+                        py += o_l * brow[1]
+                        pz += o_l * brow[2]
+
+            # ---- source: direction (local z-aligned frame) ------------------
+            dist = src["dist"]
+            if dist[0] == "isotropic":
+                cos_t = dist[1]
+                u, v = draw(), draw()
+                lz = cos_t + u * (1.0 - cos_t)
+                rho = jnp.sqrt(jnp.maximum(1.0 - lz * lz, 0.0))
+                phi = v * (2.0 * math.pi)
+                lx = rho * jnp.cos(phi)
+                ly = rho * jnp.sin(phi)
+            elif dist[0] == "isotropic_xy":
+                # Closed-form inverse CDF (ops/spread.py:107-143), symmetric-y.
+                _, g0, g1, sb1, tyl, tyh = dist
+                u, v = draw(), draw()
+                sx = jnp.sin((g0 + u * (g1 - g0)) * 0.5) / sb1
+                tx = sx * jax.lax.rsqrt(jnp.maximum(1.0 - sx * sx, 1e-12))
+                k2 = 1.0 + tx * tx
+                h0 = tyl * jax.lax.rsqrt(k2 + tyl * tyl)
+                h1 = tyh * jax.lax.rsqrt(k2 + tyh * tyh)
+                h = h0 + v * (h1 - h0)
+                ty = jnp.sqrt(k2) * h * jax.lax.rsqrt(
+                    jnp.maximum(1.0 - h * h, 1e-12)
+                )
+                w = jax.lax.rsqrt(1.0 + tx * tx + ty * ty)
+                lx, ly, lz = tx * w, ty * w, w
+            elif dist[0] == "isotropic_xy_asym":
+                # Asymmetric y-bounds: bracket-clamped Newton on the
+                # arcsin-difference marginal CDF (ops/spread.py:116-128), with
+                # arcsin(x) = pi/2 - acos_kernel(x) (Mosaic has no asin/acos
+                # lowering). 12 iterations match the XLA sampler's default.
+                from xicsrt_tpu.ops.polynomials import acos_kernel
+
+                _, sx0, sx1, sb0, sb1, g0, g1, tyl, tyh = dist
+
+                def asin_k(x):
+                    return math.pi / 2.0 - acos_kernel(
+                        jnp.clip(x, -1.0, 1.0))
+
+                u, v = draw(), draw()
+                target = g0 + u * (g1 - g0)
+                sx = sx0 + u * (sx1 - sx0)
+                for _ in range(12):
+                    gm = asin_k(sx * sb1) - asin_k(sx * sb0)
+                    dg = sb1 * jax.lax.rsqrt(jnp.maximum(
+                        1.0 - (sx * sb1) ** 2, 1e-12)) - sb0 * jax.lax.rsqrt(
+                        jnp.maximum(1.0 - (sx * sb0) ** 2, 1e-12))
+                    sx = jnp.clip(
+                        sx - (gm - target) / jnp.maximum(dg, 1e-12), sx0, sx1)
+                tx = sx * jax.lax.rsqrt(jnp.maximum(1.0 - sx * sx, 1e-12))
+                k2 = 1.0 + tx * tx
+                h0 = tyl * jax.lax.rsqrt(k2 + tyl * tyl)
+                h1 = tyh * jax.lax.rsqrt(k2 + tyh * tyh)
+                h = h0 + v * (h1 - h0)
+                ty = jnp.sqrt(k2) * h * jax.lax.rsqrt(
+                    jnp.maximum(1.0 - h * h, 1e-12)
+                )
+                w = jax.lax.rsqrt(1.0 + tx * tx + ty * ty)
+                lx, ly, lz = tx * w, ty * w, w
+            elif dist[0] == "flat":
+                # r = tan(theta) sqrt(u) on the z=1 plane (ops/spread.py:157).
+                r = dist[1] * jnp.sqrt(draw())
+                phi = draw() * (2.0 * math.pi)
+                w = jax.lax.rsqrt(1.0 + r * r)
+                lx = jnp.cos(phi) * r * w
+                ly = jnp.sin(phi) * r * w
+                lz = w
+            elif dist[0] == "flat_xy":
+                _, t0, t1, t2, t3 = dist
+                x = t0 + draw() * (t1 - t0)
+                y = t2 + draw() * (t3 - t2)
+                w = jax.lax.rsqrt(1.0 + x * x + y * y)
+                lx, ly, lz = x * w, y * w, w
+            else:  # flat_gaussian
+                sig = dist[1]
+                x = sig * normal_draw()
+                y = sig * normal_draw()
+                w = jax.lax.rsqrt(1.0 + x * x + y * y)
+                lx, ly, lz = x * w, y * w, w
+
+            if src["rot"] is not None:
+                R = src["rot"]
+                dx = lx * R[0][0] + ly * R[1][0] + lz * R[2][0]
+                dy = lx * R[0][1] + ly * R[1][1] + lz * R[2][1]
+                dz = lx * R[0][2] + ly * R[1][2] + lz * R[2][2]
+            else:
+                # Focused source: per-ray emission axis n = (target - p)/|.|,
+                # per-ray basis o1 = cross(n, bx) + cross(n, bz), o2 = cross(n,
+                # o1) (vec.orthogonal_basis / _XicsrtSourceGeneric.py:282-292).
+                tx_, ty_, tz_ = src["target"]
+                nx_ = tx_ - px
+                ny_ = ty_ - py
+                nz_ = tz_ - pz
+                inv = jax.lax.rsqrt(jnp.maximum(
+                    nx_ * nx_ + ny_ * ny_ + nz_ * nz_, 1e-30))
+                nx_, ny_, nz_ = nx_ * inv, ny_ * inv, nz_ * inv
+                hx = B[0][0] + B[2][0]
+                hy = B[0][1] + B[2][1]
+                hz = B[0][2] + B[2][2]
+                o1x = ny_ * hz - nz_ * hy
+                o1y = nz_ * hx - nx_ * hz
+                o1z = nx_ * hy - ny_ * hx
+                inv = jax.lax.rsqrt(jnp.maximum(
+                    o1x * o1x + o1y * o1y + o1z * o1z, 1e-30))
+                o1x, o1y, o1z = o1x * inv, o1y * inv, o1z * inv
+                o2x = ny_ * o1z - nz_ * o1y
+                o2y = nz_ * o1x - nx_ * o1z
+                o2z = nx_ * o1y - ny_ * o1x
+                dx = lx * o2x + ly * o1x + lz * nx_
+                dy = lx * o2y + ly * o1y + lz * ny_
+                dz = lx * o2z + ly * o1z + lz * nz_
+
+            # ---- source: wavelength ----------------------------------------
+            wave = src["wave"]
+            if not per_ray_wl:
+                wl = None
+            else:
+                if wave[0] == "mono":
+                    wl = jnp.full((8, sub), wave[1], f32)
+                elif wave[0] == "uniform":
+                    wl = wave[1] + draw() * (wave[2] - wave[1])
+                else:  # voigt: exact Gauss + Cauchy decomposition
+                    _, w0_, sigma_, gamma_ = wave
+                    wl = jnp.full((8, sub), w0_, f32)
+                    if sigma_ > 0.0:
+                        wl = wl + sigma_ * normal_draw()
+                    if gamma_ > 0.0:
+                        uc = jnp.clip(draw(), 1e-7, 1.0 - 1e-7)
+                        wl = wl + gamma_ * jnp.tan(math.pi * (uc - 0.5))
+                if src["velocity"] is not None:
+                    vx_, vy_, vz_ = src["velocity"]
+                    c_inv = 1.0 / 299792458.0
+                    wl = wl * (1.0 - (vx_ * dx + vy_ * dy + vz_ * dz) * c_inv)
 
         if keep_meta:
             count_into(0, alive)
@@ -1333,6 +1493,28 @@ def build_fused_run(pipeline, num_iter: int | None = None,
             pl.BlockSpec((None, n_draws, 8, sub), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM)
         )
+    if is_plasma:
+        # Per-iteration bundle tables, selected by the grid index map —
+        # zero per-chunk cost beyond the (tiny) block DMA.
+        B_pad = src["B_pad"]
+        cpi = chunks_per_iter
+        in_specs.append(
+            pl.BlockSpec((None, B_pad, 1), lambda i: (i // cpi, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        in_specs.append(
+            pl.BlockSpec((None, B_pad, 1), lambda i: (i // cpi, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        in_specs.append(
+            pl.BlockSpec((None, 8, B_pad), lambda i: (i // cpi, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        bundle_tables = pipeline.source.make_bundle_tables(
+            getattr(pipeline, "source_filter_fns", None)
+        )
+        src_params = pipeline.params["sources"][pipeline.source.name]
+        filter_params = pipeline.params["filters"]
     for tab in tables:
         in_specs.append(
             pl.BlockSpec(tab.shape, lambda i: (0, 0),
@@ -1373,14 +1555,35 @@ def build_fused_run(pipeline, num_iter: int | None = None,
         else:
             cnt = jnp.asarray(n_total, dtype=jnp.int32)
         seed = jnp.concatenate([seed, cnt[None]])
+        plasma_args = []
+        if is_plasma:
+            # O(bundle_count) stage in XLA, per iteration — same key
+            # discipline as the XLA engine's generate (split 7, first 3).
+            B, B_pad_ = src["B"], src["B_pad"]
+            cps, cs, ts = [], [], []
+            for j_key in jax.random.split(key, num_iter):
+                ks = jax.random.split(j_key, 7)
+                cum, btab, _tot = bundle_tables(
+                    src_params, filter_params, ks[0], ks[1], ks[2]
+                )
+                cum_prev = jnp.concatenate(
+                    [jnp.zeros((1,), cum.dtype), cum[:-1]]
+                )
+                cps.append(jnp.zeros((B_pad_, 1), jnp.int32)
+                           .at[:B, 0].set(cum_prev))
+                cs.append(jnp.zeros((B_pad_, 1), jnp.int32)
+                          .at[:B, 0].set(cum))
+                ts.append(jnp.zeros((8, B_pad_), jnp.float32)
+                          .at[:, :B].set(btab.T))
+            plasma_args = [jnp.stack(cps), jnp.stack(cs), jnp.stack(ts)]
         table_args = [jnp.asarray(t) for t in tables]
         if rng == "input":
             uniforms = jax.random.uniform(
                 key, (n_chunks, n_draws, 8, sub), dtype=f32
             )
-            counts, *imgs = call(seed, uniforms, *table_args)
+            counts, *imgs = call(seed, uniforms, *plasma_args, *table_args)
         else:
-            counts, *imgs = call(seed, *table_args)
+            counts, *imgs = call(seed, *plasma_args, *table_args)
         meta = (
             {name: counts[0, i] for i, name in enumerate(element_names)}
             if keep_meta else {}
@@ -1599,10 +1802,12 @@ def build_fast_run(pipeline, num_iter: int | None = None,
                    interpret: bool = False, chunk: int | None = None):
     """Fastest applicable Pallas path for a pipeline.
 
-    Tries the single-megakernel engine first (zero HBM traffic), falling
-    back to the hybrid XLA-generate + fused-trace kernel when only the
-    SOURCE is outside the megakernel subset. Raises ``FusedUnsupported``
-    when the optic chain itself is unsupported (faceted/rough meshes).
+    Tries the single-megakernel engine first (zero HBM traffic; plasma
+    sources run in-kernel up to 4096 bundles), falling back to the hybrid
+    XLA-generate + fused-trace kernel when only the SOURCE is outside the
+    megakernel subset (ray-filtered sources, >4096 bundles). Raises
+    ``FusedUnsupported`` when the optic chain itself is unsupported
+    (faceted/rough meshes).
 
     Returns ``(run, kind)`` with kind in {"fused", "fused_trace"}.
     """

@@ -221,14 +221,22 @@ class PlasmaGeneric(SourceGeneric):
         return params
 
     # ------------------------------------------------------------------
-    def make_generate(self, filter_fns=None):
+    def make_bundle_tables(self, filter_fns=None):
+        """Per-bundle sampling stage, shared by the XLA generator and the
+        fused megakernel: bundle origins, profiles, filters, photon rates
+        and Poisson counts — everything O(bundle_count).
+
+        Returns ``fn(params, filter_params, k_bundle, k_prof, k_counts)
+        -> (cum, table, total)`` with ``cum`` (B,) int32 inclusive
+        cumulative counts, ``table`` (B, 8) f32 columns
+        [origin xyz, spread, temperature, velocity xyz], and ``total``
+        the realized photon count.
+        """
         B = self.bundle_count
-        N = self.num_rays
         dtype = self.dtype
         sizes = tuple(
             float(self.param[k] or 0.0) for k in ("xsize", "ysize", "zsize")
         )
-        voxel = self.voxel_size
         use_poisson = bool(self.param["use_poisson"])
         spread_static = self.param["spread"]
         spread_radius = self.param["spread_radius"]
@@ -236,29 +244,11 @@ class PlasmaGeneric(SourceGeneric):
         time_res = float(self.param["time_resolution"])
         volume = float(self.param["volume"])
         intensity_scale = float(self.param["intensity_scale"])
-        wavelength0 = float(self.param["wavelength"])
-        gamma = self.gamma
-        mass_number = float(self.param["mass_number"])
         profiles_fn = self.make_profiles()
         filter_fns = filter_fns or []
-        gather_mode = str(self.param.get("bundle_gather") or "auto").lower()
-        if gather_mode not in ("auto", "matmul", "gather"):
-            raise ValueError(f"Unknown bundle_gather: {gather_mode}")
-        if gather_mode == "auto":
-            # The one-hot contraction is O(N * B); beyond a few thousand
-            # bundles the (fast-on-CPU) gather wins even on TPU.
-            gather_mode = (
-                "matmul"
-                if jax.default_backend() == "tpu" and B <= 4096
-                else "gather"
-            )
 
-        def generate(params, filter_params, key):
+        def bundle_tables(params, filter_params, k_bundle, k_prof, k_counts):
             frame = params["frame"]
-            (k_bundle, k_prof, k_counts, k_voxel, k_dir,
-             k_wave, k_cauchy) = jax.random.split(key, 7)
-
-            # --- bundles ------------------------------------------------
             offsets = jax.random.uniform(
                 k_bundle, (B, 3), dtype=dtype, minval=-0.5, maxval=0.5
             ) * jnp.asarray(sizes, dtype=dtype)
@@ -279,7 +269,8 @@ class PlasmaGeneric(SourceGeneric):
 
             # Expected photons per bundle (real units; :301-319).
             lam = (
-                prof["emissivity"] * time_res * bundle_volume * omega / (4.0 * jnp.pi)
+                prof["emissivity"] * time_res * bundle_volume * omega
+                / (4.0 * jnp.pi)
             ) * (volume / (B * bundle_volume)) * intensity_scale
             lam = jnp.where(b_mask, lam, 0.0)
 
@@ -287,10 +278,49 @@ class PlasmaGeneric(SourceGeneric):
                 counts = jax.random.poisson(k_counts, lam).astype(jnp.int32)
             else:
                 counts = jnp.floor(lam).astype(jnp.int32)
+            cum = jnp.cumsum(counts).astype(jnp.int32)
+            table = jnp.concatenate(
+                [
+                    b_origin.astype(jnp.float32),
+                    b_spread[:, None].astype(jnp.float32),
+                    prof["temperature"][:, None].astype(jnp.float32),
+                    prof["velocity"].astype(jnp.float32),
+                ],
+                axis=1,
+            )  # (B, 8)
+            return cum, table, cum[-1]
 
-            # --- per-ray bundle assignment ------------------------------
-            cum = jnp.cumsum(counts)
-            total = cum[-1]
+        return bundle_tables
+
+    def make_generate(self, filter_fns=None):
+        B = self.bundle_count
+        N = self.num_rays
+        dtype = self.dtype
+        voxel = self.voxel_size
+        wavelength0 = float(self.param["wavelength"])
+        gamma = self.gamma
+        mass_number = float(self.param["mass_number"])
+        bundle_tables = self.make_bundle_tables(filter_fns)
+        gather_mode = str(self.param.get("bundle_gather") or "auto").lower()
+        if gather_mode not in ("auto", "matmul", "gather"):
+            raise ValueError(f"Unknown bundle_gather: {gather_mode}")
+        if gather_mode == "auto":
+            # The one-hot contraction is O(N * B); beyond a few thousand
+            # bundles the (fast-on-CPU) gather wins even on TPU.
+            gather_mode = (
+                "matmul"
+                if jax.default_backend() == "tpu" and B <= 4096
+                else "gather"
+            )
+
+        def generate(params, filter_params, key):
+            frame = params["frame"]
+            (k_bundle, k_prof, k_counts, k_voxel, k_dir,
+             k_wave, k_cauchy) = jax.random.split(key, 7)
+
+            cum, table, total = bundle_tables(
+                params, filter_params, k_bundle, k_prof, k_counts
+            )
             ray_idx = jnp.arange(N, dtype=jnp.int32)
             mask = ray_idx < jnp.minimum(total, N)
 
@@ -303,17 +333,8 @@ class PlasmaGeneric(SourceGeneric):
                 # (masked below anyway).
                 from xicsrt_tpu.ops.bundle_gather import interval_gather
 
-                table = jnp.concatenate(
-                    [
-                        b_origin.astype(jnp.float32),
-                        b_spread[:, None].astype(jnp.float32),
-                        prof["temperature"][:, None].astype(jnp.float32),
-                        prof["velocity"].astype(jnp.float32),
-                    ],
-                    axis=1,
-                )  # (B, 8)
                 attrs = interval_gather(
-                    cum.astype(jnp.int32), table, N,
+                    cum, table, N,
                     interpret=jax.default_backend() != "tpu",
                 ).astype(dtype)
                 r_origin = attrs[:, 0:3]
@@ -323,10 +344,11 @@ class PlasmaGeneric(SourceGeneric):
             else:
                 bundle_id = jnp.searchsorted(cum, ray_idx, side="right")
                 bundle_id = jnp.clip(bundle_id, 0, B - 1)
-                r_origin = b_origin[bundle_id]
-                theta = b_spread[bundle_id]
-                r_temp = prof["temperature"][bundle_id]
-                r_vel = prof["velocity"][bundle_id]
+                attrs = table.astype(dtype)[bundle_id]
+                r_origin = attrs[:, 0:3]
+                theta = attrs[:, 3]
+                r_temp = attrs[:, 4]
+                r_vel = attrs[:, 5:8]
 
             # --- ray origins --------------------------------------------
             if voxel > 0.0:
