@@ -38,11 +38,13 @@ def make_differentiable(config: dict, num_iter: int | None = None,
     ``(image_fn, pipeline)``; differentiate with ``jax.grad`` over any leaf
     of ``pipeline.params``.
 
-    ``remat`` checkpoints each iteration so the backward pass recomputes
-    the trace instead of storing per-ray residuals (memory flat in batch
-    size and iteration count, ~1.5-2x backward compute). Default: on when
-    the total ray count exceeds 2^24 (residuals ~30 arrays x 4 B/ray would
-    approach HBM capacity), off below it.
+    ``remat`` (default True) checkpoints each iteration so the backward
+    pass recomputes the trace instead of storing residuals. This is
+    load-bearing at surprisingly small batches: the bilinear binning's
+    backward alone saves O(rays * (nx + ny)) tent matrices — measured
+    33 GB of HBM demand at 2^22 rays x 4 iterations without remat. Pass
+    ``remat=False`` only for small runs where the ~1.5-2x backward
+    recompute matters more than memory.
     """
     import copy
 
@@ -54,7 +56,7 @@ def make_differentiable(config: dict, num_iter: int | None = None,
     pipeline = Pipeline(config)
     n_iter = num_iter or int(pipeline.general["number_of_iter"])
     if remat is None:
-        remat = pipeline.num_rays * n_iter > (1 << 24)
+        remat = True
     run = pipeline.make_run(
         n_iter, keep_history=False, keep_images=True, remat=remat
     )
