@@ -675,6 +675,34 @@ class TestModesParity:
                 int(out_f["meta"][name]), int(out_x["meta"][name]), n)
         assert int(out_f["meta"]["detector"]) > 0
 
+    def test_sightline_filtered_source(self):
+        """Position-based ray filters run IN the megakernel (round-3
+        widening); counts match the XLA engine's ray_filter."""
+        n = 1 << 15
+        config = _spectrometer(n)
+        config["sources"]["source"].update(
+            xsize=0.06, ysize=0.06, zsize=0.0, filters=["sight"])
+        config["filters"] = {"sight": {
+            "class_name": "XicsrtBundleFilterSightline",
+            "origin": [0.01, 0.0, 0.0],
+            "zaxis": [0.0, 0.0, 1.0],
+            "radius": 0.02,
+        }}
+        pipe = Pipeline(config)
+        from xicsrt_tpu.ops.fused_trace import build_fast_run
+
+        run, kind = build_fast_run(pipe, interpret=True, chunk=8192)
+        assert kind == "fused"
+        out_f = jax.tree_util.tree_map(np.asarray, run(jax.random.key(1)))
+        it = pipe.make_iteration(keep_history=False, keep_images=True)
+        out_x = jax.tree_util.tree_map(
+            np.asarray, it(pipe.params, jax.random.key(2)))
+        # The filter must actually cut (circle r=0.02 inside a 0.06 box).
+        assert int(out_f["meta"]["source"]) < 0.6 * n
+        for name in ("source", "aperture", "crystal"):
+            _assert_binomial_close(
+                int(out_f["meta"][name]), int(out_x["meta"][name]), n)
+
     def test_mosaic_weight_mode(self):
         n = 1 << 15
         config = _spectrometer(n, interact_mode="weight")

@@ -16,7 +16,12 @@ Supported subset (config ``general.engine='fused'``; build raises
   box), Poisson or counted budgets, isotropic / isotropic_xy (symmetric-y
   closed form, asymmetric-y in-kernel Newton) / flat / flat_xy / gaussian
   angular distributions, monochrome / uniform / voigt wavelengths (exact
-  Gauss+Cauchy decomposition), bulk-velocity Doppler;
+  Gauss+Cauchy decomposition), bulk-velocity Doppler, position-based ray
+  filters (sightline);
+- plasma (bundle) sources up to 4096 bundles: the O(bundle_count) stage
+  runs in XLA per iteration, per-ray bundle attributes ride a windowed
+  interval-one-hot MXU gather in-kernel, then voxel offsets, focused
+  cones, exact-Voigt wavelengths and Doppler;
 - optic chain of: plane + none (apertures/detectors, circle/square/
   rectangle/ellipse aperture logic), plane/sphere/cylinder/torus + mirror
   or + crystal with gaussian/step/file rocking (torus quartic solved
@@ -30,10 +35,11 @@ Supported subset (config ``general.engine='fused'``; build raises
   history (throughput/serving path — the differentiable path stays on
   the XLA engine).
 
-Plasma/bundle and filtered sources run on the hybrid trace-only path
-(:func:`build_fused_trace_run`): XLA generation + this optic chain.
-Still outside every fused path: faceted or non-height-field meshes
-(exact XLA triangle path), float64, ray history.
+Plasmas beyond 4096 bundles and non-position-based filtered sources run
+on the hybrid trace-only path (:func:`build_fused_trace_run`): XLA
+generation + this optic chain. Still outside every fused path: faceted
+or non-height-field meshes (exact XLA triangle path), float64, ray
+history.
 
 Numerical notes vs the XLA engine (validated statistically in tests):
 
@@ -85,16 +91,17 @@ def _v3(x) -> tuple:
 # Build-time extraction of the (static) pipeline structure.
 # ---------------------------------------------------------------------------
 
-def _source_spec(source):
+def _source_spec(source, filter_map=None):
     """Build-time extraction of the full source sampling program.
 
     Covers the reference source matrix (``_XicsrtSourceGeneric.py:26-186``):
     point/uniform/gaussian spatial, isotropic / isotropic_xy (symmetric-y) /
     flat / flat_xy / gaussian angular, monochrome / uniform / voigt
     wavelengths (voigt as the exact Gauss+Cauchy decomposition), bulk
-    velocity Doppler, Poisson ray budgets, and Directed/Focused emission
-    axes. Each stage counts its uniform draws so the ``input`` RNG mode
-    stays exactly reproducible.
+    velocity Doppler, Poisson ray budgets, Directed/Focused emission
+    axes, and position-based ray filters (sightline cylinder test,
+    ``filters/sightline.py``). Each stage counts its uniform draws so the
+    ``input`` RNG mode stays exactly reproducible.
     """
     from xicsrt_tpu.sources.generic import SourceDirected, SourceFocused
     from xicsrt_tpu.sources.plasma import PlasmaGeneric
@@ -102,11 +109,8 @@ def _source_spec(source):
     if isinstance(source, PlasmaGeneric):
         return _plasma_spec(source)
     p = source.param
-    filters = p.get("filters")
-    if filters is not None and len(filters) > 0:
-        raise FusedUnsupported("source filters")
 
-    spec = {"n_draws": 0}
+    spec = {"n_draws": 0, "filters": _filter_specs(p, filter_map)}
 
     # --- spatial ---------------------------------------------------------
     sizes = tuple(_f(p.get(k) or 0.0) for k in ("xsize", "ysize", "zsize"))
@@ -227,6 +231,33 @@ def _source_spec(source):
         spec["rot"] = tuple(_v3(r) for r in np.stack([o2, o1, d]))
         spec["target"] = None
     return spec
+
+
+def _filter_specs(p, filter_map):
+    """Build-time extraction of a source's ray filters.
+
+    Position-based filters are pure per-ray math with baked geometry;
+    anything else falls back to the XLA engine (or the hybrid path).
+    """
+    from xicsrt_tpu.filters.sightline import FilterBase, FilterSightline
+
+    specs = []
+    filters = p.get("filters")
+    for fname in ([] if filters is None else list(filters)):
+        flt = (filter_map or {}).get(fname)
+        if isinstance(flt, FilterSightline):
+            frame = flt.frame
+            specs.append({
+                "type": "sightline",
+                "origin": _v3(frame.origin),
+                "zaxis": _v3(np.asarray(frame.basis)[2]),
+                "radius": _f(flt.param["radius"]),
+            })
+        elif isinstance(flt, FilterBase) and type(flt) is FilterBase:
+            continue  # pass-through
+        else:
+            raise FusedUnsupported(f"source filter {fname!r}")
+    return specs
 
 
 def _plasma_spec(source):
@@ -1088,7 +1119,9 @@ def build_fused_run(pipeline, num_iter: int | None = None,
     if str(g.get("dtype", "float32")).lower() not in ("float32", "f32"):
         raise FusedUnsupported("dtype != float32")
 
-    src = _source_spec(pipeline.source)
+    src = _source_spec(
+        pipeline.source, {f.name: f for f in pipeline.filters}
+    )
     is_plasma = src.get("type") == "plasma"
     # Per-ray wavelengths are materialized only when something varies them.
     per_ray_wl = (True if is_plasma
@@ -1464,6 +1497,24 @@ def build_fused_run(pipeline, num_iter: int | None = None,
                     vx_, vy_, vz_ = src["velocity"]
                     c_inv = 1.0 / 299792458.0
                     wl = wl * (1.0 - (vx_ * dx + vy_ * dy + vz_ * dz) * c_inv)
+
+            # Position-based ray filters (generate_rays applies filters
+            # last, _XicsrtSourceGeneric.py:198-227; position-only tests
+            # commute with the rest of sampling).
+            for fspec in src["filters"]:
+                # sightline: keep origins within radius of the cylinder
+                # along the filter z-axis (filters/sightline.py:51-58).
+                fox, foy, foz = fspec["origin"]
+                fzx, fzy, fzz = fspec["zaxis"]
+                lx_ = fox - px
+                ly_ = foy - py
+                lz_ = foz - pz
+                proj = lx_ * fzx + ly_ * fzy + lz_ * fzz
+                ex_ = lx_ - proj * fzx
+                ey_ = ly_ - proj * fzy
+                ez_ = lz_ - proj * fzz
+                d2_ = ex_ * ex_ + ey_ * ey_ + ez_ * ez_
+                alive = alive & (d2_ <= fspec["radius"] ** 2)
 
         if keep_meta:
             count_into(0, alive)
