@@ -240,6 +240,84 @@ def generate_gradient_params_golden():
               f"+- {out[f'fd_{pname}_std']:.3g}")
 
 
+def generate_gradient_pixel_golden():
+    """Finite-difference the reference's DETECTOR IMAGE (superpixel level).
+
+    BASELINE.json's metric is "detector image + pixel-grad allclose": the
+    scalar-efficiency goldens above constrain gradient magnitude only. This
+    golden central-differences the [100, 50] reference image coarsened to
+    [10, 10] superpixels (the same coarsening as the image-parity tests)
+    w.r.t. crystal origin-y and crystal_spacing, per generated ray, with
+    common random numbers per seed pair. The parity test compares the
+    SPATIAL STRUCTURE of d(image)/d(param) from jax against these fields.
+    """
+    import copy
+
+    import xicsrt
+
+    intensity = 1e6
+    num_iter = 10  # 1e7 rays per evaluation
+
+    def run(seed, origin_y_shift=0.0, **crystal_overrides):
+        config = copy.deepcopy(BASE)
+        g = config["general"]
+        g["number_of_iter"] = num_iter
+        g["number_of_runs"] = 1
+        g["random_seed"] = seed
+        g["keep_history"] = False
+        config["sources"]["source"]["intensity"] = intensity
+        # Pixel-RESOLVED operating point. At the stock geometry the line
+        # is sub-pixel in y (sagittal focus, ~0.3 px sigma): pixel
+        # gradients there only probe the binning kernel's derivative, not
+        # physics. Two changes give the field pixel-scale structure both
+        # codes must reproduce: a uniform wavelength band spreads the
+        # dispersion (x) axis, and the detector sits 8 cm BEFORE the
+        # sagittal focus so the y footprint defocuses over ~6 pixels.
+        config["sources"]["source"]["wavelength_dist"] = "uniform"
+        config["sources"]["source"]["wavelength_range"] = [
+            3.9492 - 0.013, 3.9492 + 0.013
+        ]
+        det = config["optics"]["detector"]
+        det["origin"] = list(
+            np.asarray(det["origin"]) + 0.08 * np.asarray(det["zaxis"])
+        )
+        crystal = config["optics"]["crystal"]
+        crystal["rocking_fwhm"] = GRAD_FWHM
+        origin = list(crystal["origin"])
+        origin[1] += GRAD_Y0 + origin_y_shift
+        crystal["origin"] = origin
+        crystal.update(crystal_overrides)
+        result = xicsrt.raytrace(config)
+        image = np.asarray(result["total"]["image"]["detector"], dtype=float)
+        n_gen = float(result["total"]["meta"]["source"]["num_out"])
+        return image / n_gen
+
+    spacing0 = BASE["optics"]["crystal"]["crystal_spacing"]
+    cases = {
+        "origin_y": ("origin_y_shift", 0.0, GRAD_DELTA),
+        "crystal_spacing": ("crystal_spacing", spacing0, 2e-4),
+    }
+    # Per-seed FULL-RESOLUTION [100, 50] FD fields: the parity test
+    # compares after applying the SAME smoothing to the jax side, which
+    # cancels the hard-binning (box) vs bilinear-splat (tent) kernel
+    # difference that superpixel sums alone cannot.
+    out = {"y0": GRAD_Y0, "rocking_fwhm": GRAD_FWHM,
+           "crystal_spacing0": spacing0, "n_rays": intensity * num_iter}
+    for cname, (kw, p0, delta) in cases.items():
+        fields = []
+        for seed in (707, 808, 909):
+            img_p = run(seed, **{kw: p0 + delta})
+            img_m = run(seed, **{kw: p0 - delta})
+            fields.append((img_p - img_m) / (2 * delta))
+            print(f"{cname} seed {seed}: |FD field| max "
+                  f"{np.abs(fields[-1]).max():.4g}")
+        out[f"fd_pixel_{cname}_delta"] = delta
+        out[f"fd_pixel_{cname}_fields"] = np.stack(fields)
+    path = os.path.join(HERE, "gradient_pixel_reference.npz")
+    np.savez_compressed(path, **out)
+    print(f"gradient-pixel golden -> {path}")
+
+
 def run_reference(name, config):
     import xicsrt
 
@@ -263,7 +341,8 @@ def run_reference(name, config):
 def main():
     requested = sys.argv[1:] or [
         n
-        for n in list(SCENARIOS) + ["gradient", "gradient_params"]
+        for n in list(SCENARIOS)
+        + ["gradient", "gradient_params", "gradient_pixel"]
         if not os.path.exists(
             os.path.join(
                 HERE,
@@ -277,6 +356,8 @@ def main():
             generate_gradient_golden()
         elif name == "gradient_params":
             generate_gradient_params_golden()
+        elif name == "gradient_pixel":
+            generate_gradient_pixel_golden()
         else:
             run_reference(name, SCENARIOS[name])
 

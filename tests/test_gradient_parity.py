@@ -27,9 +27,17 @@ GOLDEN = os.path.join(os.path.dirname(__file__), "golden",
                       "gradient_reference.npz")
 GOLDEN_PARAMS = os.path.join(os.path.dirname(__file__), "golden",
                              "gradient_params_reference.npz")
+GOLDEN_PIXEL = os.path.join(os.path.dirname(__file__), "golden",
+                            "gradient_pixel_reference.npz")
 
 
-def _config(y0, rocking_fwhm, intensity):
+def _config(y0, rocking_fwhm, intensity, **source_overrides):
+    config = _config_base(y0, rocking_fwhm, intensity)
+    config["sources"]["source"].update(source_overrides)
+    return config
+
+
+def _config_base(y0, rocking_fwhm, intensity):
     return {
         "general": {
             "number_of_iter": 1,
@@ -130,6 +138,116 @@ def test_gradient_parity_vs_reference():
     ), (
         f"jax.grad = {g_jax:.4f} vs jax FD = {fd_jax:.4f}"
     )
+
+
+@pytest.mark.skipif(not os.path.exists(GOLDEN_PIXEL),
+                    reason="golden data missing")
+@pytest.mark.parametrize("pname", ["origin_y", "crystal_spacing"])
+def test_gradient_parity_pixel_field(pname):
+    """PIXEL-LEVEL gradient parity (BASELINE.json "pixel-grad allclose").
+
+    The golden central-differences the reference's [100, 50] detector image
+    coarsened to [10, 10] superpixels w.r.t. the crystal parameter. Here the
+    same [10, 10] field comes from ONE forward-mode pass (``jax.jvp``) of
+    the weight-mode bilinear image per key; the fields must agree
+    superpixel-by-superpixel within combined MC sigma AND in direction
+    (cosine similarity — what image-space alignment optimization actually
+    consumes). Reference physics: ``_InteractCrystal.py:96-196``.
+    """
+    import dataclasses
+
+    from scipy.ndimage import gaussian_filter
+
+    golden = np.load(GOLDEN_PIXEL)
+    y0 = float(golden["y0"])
+    fwhm = float(golden["rocking_fwhm"])
+    ref_fields = np.asarray(golden[f"fd_pixel_{pname}_fields"])  # [3,100,50]
+
+    # Both estimators smooth with the SAME Gaussian before superpixel
+    # aggregation: the reference bins hard (box kernel), the jax side
+    # splats bilinearly (tent kernel) — after a sigma=1.5 px blur the
+    # kernel-variance difference (1/6 - 1/12 px^2) is ~1% of the total
+    # width, below the comparison tolerance. Coarse grid (20, 25) = 5x2-px
+    # blocks resolves the ~38 x 3 px Bragg line into >=8 significant
+    # cells (line profile + dispersion-direction structure).
+    cx, cy = 20, 25
+
+    def smooth_coarse(field):
+        f = gaussian_filter(field, sigma=1.5, mode="constant")
+        nx, ny = f.shape
+        return f.reshape(cx, nx // cx, cy, ny // cy).sum(axis=(1, 3))
+
+    ref_sc = np.stack([smooth_coarse(f) for f in ref_fields])
+    ref_mean = ref_sc.mean(axis=0)
+    ref_sem = ref_sc.std(axis=0, ddof=1) / np.sqrt(ref_sc.shape[0])
+
+    intensity = 1 << 18
+    config = _config(
+        y0, fwhm, intensity,
+        # Same pixel-resolved operating point as the golden (see
+        # generate_goldens.py): dispersion band in x, detector 8 cm
+        # before the sagittal focus so the y footprint spans ~6 px.
+        wavelength_dist="uniform",
+        wavelength_range=[3.9492 - 0.013, 3.9492 + 0.013],
+    )
+    det = config["optics"]["detector"]
+    det["origin"] = list(
+        np.asarray(det["origin"]) + 0.08 * np.asarray(det["zaxis"])
+    )
+    image_fn, pipeline = make_differentiable(config)
+    params = pipeline.params
+    frame0 = params["optics"]["crystal"]["frame"]
+    e_y = jnp.asarray([0.0, 1.0, 0.0], dtype=frame0.origin.dtype)
+    d0 = params["optics"]["crystal"]["crystal_spacing"]
+
+    def norm_image(value, key):
+        p = dict(params)
+        p["optics"] = dict(params["optics"])
+        p["optics"]["crystal"] = dict(params["optics"]["crystal"])
+        if pname == "origin_y":
+            p["optics"]["crystal"]["frame"] = dataclasses.replace(
+                frame0, origin=frame0.origin + value * e_y
+            )
+        else:
+            p["optics"]["crystal"]["crystal_spacing"] = value
+        return image_fn(p, key)["detector"] / intensity
+
+    v0 = jnp.asarray(0.0, frame0.origin.dtype) if pname == "origin_y" else d0
+
+    @jax.jit
+    def field(key):
+        _, tangent = jax.jvp(lambda v: norm_image(v, key), (v0,),
+                             (jnp.ones_like(v0),))
+        return tangent
+
+    jax_sc = np.stack([
+        smooth_coarse(np.asarray(field(jax.random.key(k))))
+        for k in range(6)
+    ])
+    m_jax = jax_sc.mean(axis=0)
+    s_jax = jax_sc.std(axis=0, ddof=1) / np.sqrt(jax_sc.shape[0])
+
+    scale = np.abs(ref_mean).max()
+    assert scale > 0
+    # The test must constrain real structure: a nontrivial set of
+    # superpixels carries significant signal in the reference estimate.
+    strong = np.abs(ref_mean) > 0.05 * scale
+    assert strong.sum() >= 8, strong.sum()
+
+    # (1) Elementwise agreement within combined MC noise. The 3-seed
+    # reference SEM is itself noisy; floor the tolerance at 2% of scale.
+    sigma = np.sqrt(s_jax**2 + ref_sem**2) + 0.02 * scale
+    bad = np.abs(m_jax - ref_mean) > 5 * sigma
+    assert not bad.any(), (
+        f"{bad.sum()} superpixels disagree; worst "
+        f"{np.abs(m_jax - ref_mean)[bad].max():.4g} vs scale {scale:.4g}"
+    )
+    # (2) Direction: the gradient fields point the same way in image space.
+    cos = float(
+        (m_jax * ref_mean).sum()
+        / (np.linalg.norm(m_jax) * np.linalg.norm(ref_mean))
+    )
+    assert cos > 0.95, cos
 
 
 @pytest.mark.skipif(not os.path.exists(GOLDEN_PARAMS),

@@ -124,6 +124,68 @@ SCENARIOS = {
         n, it),
 }
 
+# TPU v5e bf16 MXU peak; the same plausibility anchor as bench.py.
+PEAK_FLOPS = 197e12
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+def _flops_per_ray(pipeline, engine):
+    """Countable per-ray FLOPs: exact binning MACs + per-stage estimates.
+
+    Binning dominates the flagship (mfu 0.63 there is binning MACs alone);
+    the per-shape/source VPU estimates below are rough transcendental-
+    weighted op counts of the kernel stages (fused engine structure,
+    ops/fused_trace.py) so sub-1e9 scenarios get an honest bound: a LOW
+    mfu with a low VPU estimate says the scenario is latency/structure
+    -bound, not that the MXU is busy.
+    """
+    # Exact MXU MACs: every enabled image contracts (nx_pad x ny_pad) per
+    # ray on the fused engine (padded dims are what the MXU computes).
+    if engine == "fused":
+        mpr = sum(
+            _round_up(nx, 8) * _round_up(ny, 128)
+            for (nx, ny), _ in pipeline.image_specs().values()
+        )
+    else:
+        mpr = sum(nx * ny for (nx, ny), _ in pipeline.image_specs().values())
+    flops = 2.0 * mpr
+
+    # VPU estimates per stage (multiply-add = 2; transcendental ~ 8).
+    SOURCE = 150.0       # sampling: RNG, cone basis, trig, Doppler
+    SHAPE = {
+        "plane": 30.0, "sphere": 80.0, "cylinder": 120.0,
+        "torus": 5 * 120.0,          # 5 second-order Newton iterations
+    }
+    for o in pipeline.optics:
+        cname = type(o).__name__.lower()
+        if "torus" in cname or "toroidal" in cname:
+            flops += SHAPE["torus"]
+        elif "cylind" in cname:
+            flops += SHAPE["cylinder"]
+        elif "mesh" in cname:
+            flops += 6 * 2 * 14 * 14  # Newton iters x Chebyshev deg^2 MACs
+        elif "spher" in cname:
+            flops += SHAPE["sphere"]
+        else:
+            flops += SHAPE["plane"]
+        if "mosaic" in cname:
+            depth = int(o.param.get("mosaic_depth", 15))
+            flops += depth * 100.0   # per-layer: normals, Bragg, reflect
+        elif "crystal" in cname:
+            flops += 60.0            # Bragg deviation + rocking curve
+        flops += 40.0                # bounds/aperture/frame transforms
+    from xicsrt_tpu.sources.plasma import PlasmaGeneric
+
+    flops += SOURCE
+    if isinstance(pipeline.source, PlasmaGeneric):
+        # Windowed interval-one-hot bundle gather: 8 attrs x B_pad MACs.
+        B_pad = _round_up(max(int(pipeline.source.bundle_count), 128), 128)
+        flops += 2.0 * 8.0 * B_pad
+    return flops, mpr
+
 
 def time_chained(step, params, n_rays, reps=2, blocks=2):
     import jax
@@ -162,7 +224,11 @@ def run_scenario(name, log2=None, num_iter=None):
     if name == "diff_fwd_bwd":
         from xicsrt_tpu.gradients import make_differentiable
 
-        image_fn, pipeline = make_differentiable(config, num_iter=num_iter)
+        remat_env = os.environ.get("XICSRT_BENCH_REMAT")
+        image_fn, pipeline = make_differentiable(
+            config, num_iter=num_iter,
+            remat=None if remat_env is None else remat_env == "1",
+        )
 
         # Pixel-weighted loss: a plain sum(image) lets XLA dead-code
         # -eliminate most of the trace (the bilinear splat's in-bounds sum
@@ -184,6 +250,10 @@ def run_scenario(name, log2=None, num_iter=None):
 
         n_rays = intensity * num_iter
         rps = time_chained(step, pipeline.params, n_rays)
+        # Reverse mode with per-iteration remat: ~3 forward-equivalent
+        # passes (primal + recompute + adjoint).
+        fpr, _ = _flops_per_ray(pipeline, "xla")
+        mfu = 3.0 * fpr * rps / PEAK_FLOPS
     else:
         pipeline = Pipeline(config)
         engine = "xla"
@@ -192,8 +262,12 @@ def run_scenario(name, log2=None, num_iter=None):
                 FusedUnsupported, build_fast_run,
             )
 
+            chunk_env = os.environ.get("XICSRT_BENCH_CHUNK")
             try:
-                fused, engine = build_fast_run(pipeline, num_iter=num_iter)
+                fused, engine = build_fast_run(
+                    pipeline, num_iter=num_iter,
+                    chunk=int(chunk_env) if chunk_env else None,
+                )
             except FusedUnsupported:
                 pass
         if engine == "fused":
@@ -209,12 +283,19 @@ def run_scenario(name, log2=None, num_iter=None):
 
         n_rays = pipeline.num_rays * num_iter
         rps = time_chained(step, pipeline.params, n_rays)
+        fpr, mpr = _flops_per_ray(pipeline, engine)
+        mfu = fpr * rps / PEAK_FLOPS
         return {"scenario": name, "engine": engine,
                 "rays_per_s": float(f"{rps:.4g}"),
-                "rays_per_dispatch": n_rays}
+                "rays_per_dispatch": n_rays,
+                "mfu": float(f"{mfu:.3g}"),
+                "flops_per_ray": float(f"{fpr:.4g}"),
+                "binning_macs_per_ray": int(mpr)}
     return {"scenario": name, "engine": "xla",
             "rays_per_s": float(f"{rps:.4g}"),
-            "rays_per_dispatch": n_rays}
+            "rays_per_dispatch": n_rays,
+            "mfu": float(f"{mfu:.3g}"),
+            "flops_per_ray": float(f"{fpr:.4g}")}
 
 
 def main():

@@ -31,7 +31,8 @@ from xicsrt_tpu.engine import Pipeline
 
 
 def make_differentiable(config: dict, num_iter: int | None = None,
-                        remat: bool | None = None):
+                        remat: bool | None = None, mesh=None,
+                        n_devices: int | None = None):
     """Build a differentiable forward: ``images(params, key) -> dict``.
 
     Forces weight-mode interactions and bilinear imaging. Returns
@@ -39,12 +40,24 @@ def make_differentiable(config: dict, num_iter: int | None = None,
     of ``pipeline.params``.
 
     ``remat`` (default True) checkpoints each iteration so the backward
-    pass recomputes the trace instead of storing residuals. This is
-    load-bearing at surprisingly small batches: the bilinear binning's
-    backward alone saves O(rays * (nx + ny)) tent matrices — measured
-    33 GB of HBM demand at 2^22 rays x 4 iterations without remat. Pass
-    ``remat=False`` only for small runs where the ~1.5-2x backward
-    recompute matters more than memory.
+    pass recomputes the trace instead of storing residuals. The bilinear
+    binning itself needs no rematerialization either way — its custom
+    tent-transpose VJP (``ops/binning.py``) keeps only O(N) residuals.
+    Pass ``remat=False`` for runs whose per-iteration trace intermediates
+    fit in HBM (the backward then skips the ~1x trace recompute).
+
+    Multi-chip gradients: pass ``mesh`` (a 1-D ``jax.sharding.Mesh``) or
+    ``n_devices`` to shard the ray axis. Each device folds its mesh
+    position into the RNG key and traces its share of the photon load
+    (``parallel.mesh._shard_intensity`` divides source rates, preserving
+    totals); the per-device images are ``psum``-reduced inside the
+    ``shard_map``. Because the params enter replicated, the transpose of
+    that program IS the cross-device gradient all-reduce: ``jax.grad`` of
+    any loss of these images returns globally-summed parameter gradients,
+    with the collective overlapped into the backward pass by XLA. This is
+    the differentiable analog of the reference's only parallel mechanism
+    (per-run process pool, ``xicsrt_multiprocessing.py:37-62``), which
+    cannot propagate gradients at all.
     """
     import copy
 
@@ -53,6 +66,16 @@ def make_differentiable(config: dict, num_iter: int | None = None,
     general["interact_mode"] = "weight"
     general["image_mode"] = "bilinear"
     general["keep_history"] = False
+
+    if mesh is None and n_devices is not None and n_devices > 1:
+        from xicsrt_tpu.parallel.mesh import ray_mesh
+
+        mesh = ray_mesh(n_devices)
+    if mesh is not None:
+        from xicsrt_tpu.parallel.mesh import _shard_intensity
+
+        config = _shard_intensity(config, int(mesh.devices.size))
+
     pipeline = Pipeline(config)
     n_iter = num_iter or int(pipeline.general["number_of_iter"])
     if remat is None:
@@ -61,9 +84,30 @@ def make_differentiable(config: dict, num_iter: int | None = None,
         n_iter, keep_history=False, keep_images=True, remat=remat
     )
 
-    def image_fn(params, key):
-        return run(params, key)["image"]
+    if mesh is None:
+        def image_fn(params, key):
+            return run(params, key)["image"]
 
+        return image_fn, pipeline
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    image_names = list(pipeline.image_specs().keys())
+
+    def device_images(params, key):
+        idx = jax.lax.axis_index(axis)
+        out = run(params, jax.random.fold_in(key, idx))
+        return {k: jax.lax.psum(out["image"][k], axis) for k in image_names}
+
+    image_fn = shard_map(
+        device_images,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs={k: P() for k in image_names},
+        check_vma=False,
+    )
     return image_fn, pipeline
 
 
@@ -82,6 +126,8 @@ def align(
     resample: bool = True,
     loss_fn=l2_image_loss,
     callback=None,
+    mesh=None,
+    n_devices: int | None = None,
 ):
     """Gradient-descent alignment of optic parameters to target images.
 
@@ -96,12 +142,17 @@ def align(
     resample : fresh MC rays each step (True) or frozen rays (False —
       deterministic loss, useful for convergence tests).
     callback : optional fn(step, loss, params).
+    mesh, n_devices : shard each step's rays over a device mesh; parameter
+      gradients are psum-reduced across devices inside the backward pass
+      (see ``make_differentiable``).
 
     Returns (optimized_params, losses).
     """
     import optax
 
-    image_fn, pipeline = make_differentiable(config, num_iter=num_iter)
+    image_fn, pipeline = make_differentiable(
+        config, num_iter=num_iter, mesh=mesh, n_devices=n_devices
+    )
     params = pipeline.params
     targets = {k: jnp.asarray(v) for k, v in target_images.items()}
 
