@@ -11,7 +11,7 @@ Engines (XICSRT_BENCH_ENGINE):
 
 - ``fused`` (default): the single-Pallas-megakernel engine
   (ops/fused_trace.py) — generate + trace + MXU binning with zero per-ray
-  HBM traffic. Measured v5e: ~1.8e9 rays/s.
+  HBM traffic. Measured v5e: 2.32e9 rays/s (BENCH_r03.json).
 - ``xla``: the general differentiable XLA engine — one fused XLA program
   per iteration. Measured v5e: ~5.9e8 rays/s (per-iteration batch 2^22 is
   the sweet spot: 2^21 -> 4.9e8, 2^22 -> 5.9e8, 2^23 -> 5.1e8,

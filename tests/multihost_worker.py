@@ -43,13 +43,16 @@ def main():
     result = engine.raytrace_single(config)
 
     found = result["found"]["history"]
+    has_history = "detector" in found
     np.savez(
         out_path,
         image=result["total"]["image"]["detector"],
         num_source=result["total"]["meta"]["source"]["num_out"],
         num_detector=result["total"]["meta"]["detector"]["num_out"],
-        found_local=found["detector"]["origin"].shape[0],
-        found_final_mask_all=np.all(found["detector"]["mask"]),
+        found_local=(found["detector"]["origin"].shape[0]
+                     if has_history else -1),
+        found_final_mask_all=(np.all(found["detector"]["mask"])
+                              if has_history else True),
     )
     print(f"worker {pid} OK", flush=True)
 

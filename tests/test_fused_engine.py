@@ -229,6 +229,70 @@ class TestOpticVariants:
         assert int(out_f["meta"]["mirror"]) > 0
 
 
+class TestFoundHistoryReservoir:
+    """keep_history='found' on the fused engine: bounded in-kernel
+    reservoir of the chunks that produced detector hits (round-3 verdict
+    #5; reference full-history contract ``xicsrt_raytrace.py:229-278``)."""
+
+    def _run(self, n=1 << 14, slots=4, **general):
+        config = _spectrometer(
+            n, engine="fused", keep_history="found",
+            history_found_slots=slots, **general,
+        )
+        return raytrace(config)
+
+    def test_found_history_populated_and_consistent(self):
+        result = self._run()
+        found = result["found"]["history"]
+        assert set(found) == {"source", "aperture", "crystal", "detector"}
+        n_found = found["detector"]["origin"].shape[0]
+        n_det = result["total"]["meta"]["detector"]["num_out"]
+        assert n_found > 0
+        # Detector hits fit in the reservoir here -> found is COMPLETE.
+        assert n_found == n_det, (n_found, n_det)
+        # Found rays survive every element by construction.
+        for name in ("source", "aperture", "crystal", "detector"):
+            assert found[name]["mask"].all(), name
+            assert found[name]["origin"].shape == (n_found, 3)
+        # Lost sample: the reservoir chunks' non-surviving rays.
+        lost = result["lost"]["history"]
+        assert lost["detector"]["origin"].shape[0] > 0
+        assert not lost["detector"]["mask"].any()
+        # Found detector hits actually sit in the detector plane's bounds:
+        # their positions differ per ray (real states, not zeros).
+        assert np.std(found["detector"]["origin"][:, 0]) > 0
+
+    def test_reservoir_bounds_found_count(self):
+        """With a 1-slot reservoir only one chunk's worth of found rays
+        comes back — the bounded-memory contract."""
+        full = self._run(slots=4)
+        capped = self._run(slots=1)
+        n_full = full["found"]["history"]["detector"]["origin"].shape[0]
+        n_capped = capped["found"]["history"]["detector"]["origin"].shape[0]
+        assert 0 < n_capped < n_full
+
+    def test_found_history_feeds_plot_intersect(self):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        from xicsrt_tpu.visual.plot2d import plot_intersect
+
+        result = self._run()
+        fig_or_ax = plot_intersect(result, "detector")
+        assert fig_or_ax is not None
+
+    def test_weight_mode_reservoir(self):
+        result = self._run(interact_mode="weight")
+        found = result["found"]["history"]
+        w = found["detector"]["weight"]
+        assert w.shape[0] > 0
+        # Bragg acceptance multiplies weights into [0, 1] (exact 0 from
+        # exp underflow far off the rocking curve; rays stay alive in
+        # weight mode — only bounds kill).
+        assert (w >= 0).all() and (w <= 1.0).all()
+        assert (0.0 < w[w < 1.0]).any()
+
+
 class TestWidenedSubset:
     """Round-3 widening: extended/Poisson/voigt/focused sources and
     cylinder/torus shapes run on the fused engine and agree with the XLA
@@ -441,6 +505,47 @@ class TestWidenedSubset:
         _assert_binomial_close(
             int(out_f["meta"]["crystal"]), int(out_x["meta"]["crystal"]), n)
         assert int(out_f["meta"]["crystal"]) > 0
+
+    def test_torus_wide_spread_grazing(self):
+        """Wide-spread illumination reaching the tube silhouette (ADVICE
+        r3): grazing incidence is where the in-kernel Newton solver's
+        surface gradient along the ray goes to zero and non-convergence
+        would silently turn hits into misses (the XLA quartic enumerates
+        all roots). Counts AND the spatial hit distribution on the crystal
+        must match — localized convergence failures would concentrate in
+        the silhouette cells of the image."""
+        n = 1 << 15
+        # Tube minor radius 0.1 at 0.4 m from the source: the silhouette
+        # sits at asin(0.1/0.4) ~ 14.5 deg off-axis, well inside the
+        # 28-deg cone — a broad band of rays passes the tangency region.
+        crystal = {
+            "class_name": "XicsrtOpticToroidalCrystal",
+            "origin": [0.0, 0.0, 0.5],
+            "zaxis": [0.0, 0.0, -1.0],
+            "xsize": 0.5, "ysize": 0.5,
+            "radius_major": 1.0, "radius_minor": 0.1,
+            "check_bragg": False, "crystal_spacing": 2.45676,
+            "pixel_size": 0.03125,  # 16 x 16 crystal intersection image
+        }
+        config = self._crystal_config(n, crystal)
+        config["sources"]["source"]["angular_dist"] = "isotropic"
+        config["sources"]["source"]["spread"] = np.radians(28.0)
+        del config["optics"]["detector"]
+        out_f, out_x = _run_both(config)
+        kf = int(out_f["meta"]["crystal"])
+        kx = int(out_x["meta"]["crystal"])
+        _assert_binomial_close(kf, kx, n)
+        # Non-vacuous: the patch vignettes part of the wide cone, so the
+        # silhouette region is actually sampled.
+        assert 0 < kf < int(0.95 * n), kf
+        f = out_f["image"]["crystal"]
+        x = out_x["image"]["crystal"]
+        sp = lambda a: a.reshape(8, 2, 8, 2).sum(axis=(1, 3))  # noqa: E731
+        F, X = sp(f), sp(x)
+        keep = (F + X) > 30
+        assert keep.sum() >= 8, keep.sum()
+        chi2 = (((F - X) ** 2)[keep] / (F + X)[keep]).sum()
+        assert chi2 / keep.sum() < 3.0, chi2 / keep.sum()
 
     def test_convex_cylinder_mirror(self):
         n = 1 << 14
@@ -807,6 +912,35 @@ class TestFusedTraceHybrid:
             np.asarray, it(pipe.params, jax.random.key(1)))
         _assert_binomial_close(
             int(out["meta"]["crystal"]), int(out_x["meta"]["crystal"]), n)
+
+    def test_plasma_windowed_bundles_beyond_4096(self):
+        """bundle_count > 4096: the kernel DMAs a constant-size bundle
+        window per chunk (zero-count bundles compacted to the back so a
+        chunk's bundle span is bounded). Photon accounting and the traced
+        chain must match the XLA engine (round-3 verdict #6)."""
+        from xicsrt_tpu.ops.fused_trace import build_fast_run
+
+        config = self._plasma_config()
+        src = config["sources"]["plasma"]
+        src["bundle_count"] = 6000   # mean ~2.7 photons/bundle: plenty of
+        src["emissivity"] = 2e13     # zero-count bundles exercise the
+        src["max_bundles"] = 10000   # compaction path
+        pipe = Pipeline(config)
+        assert pipe.source.bundle_count == 6000
+        run, kind = build_fast_run(pipe, interpret=True, chunk=4096)
+        assert kind == "fused"
+        out = jax.tree_util.tree_map(np.asarray, run(jax.random.key(0)))
+        n = int(out["meta"]["plasma"])
+        expected = 2e13 * 1e-3 * 0.02**3 * np.sin(np.radians(10.0) / 2) ** 2
+        assert abs(n - expected) < 6 * np.sqrt(expected), (n, expected)
+
+        it = pipe.make_iteration(keep_history=False, keep_images=True)
+        out_x = jax.tree_util.tree_map(
+            np.asarray, it(pipe.params, jax.random.key(1)))
+        for name in ("crystal", "detector"):
+            _assert_binomial_close(
+                int(out["meta"][name]), int(out_x["meta"][name]), n)
+        assert out["image"]["detector"].sum() == int(out["meta"]["detector"])
 
     def test_engine_auto_routes_plasma_to_hybrid(self):
         config = self._plasma_config()

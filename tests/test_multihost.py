@@ -115,3 +115,46 @@ def test_two_process_distributed_matches_single_process(tmp_path):
     assert outputs[0]["found_local"] + outputs[1]["found_local"] == ref_found
     # The geometry is vignetted, so the test is not vacuous.
     assert 0 < ref_found < ref["total"]["meta"]["source"]["num_out"]
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_two_process_seedless_run_is_consistent(tmp_path):
+    """``random_seed=None`` under multi-host: process-0's entropy is
+    broadcast (``engine._root_key``), so both processes feed the jitted
+    shard_map identical keys and the psum-reduced outputs agree exactly.
+    Without the broadcast each process would trace different rays and the
+    'replicated' outputs would silently diverge (round-3 verdict #7)."""
+    port = _free_port()
+    config = _config()
+    config["general"]["random_seed"] = None
+    config["general"]["keep_history"] = False
+    cfg_json = json.dumps(config)
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = []
+    for pid in (0, 1):
+        out_npz = str(tmp_path / f"seedless_p{pid}.npz")
+        procs.append(
+            (
+                out_npz,
+                subprocess.Popen(
+                    [sys.executable, WORKER, str(pid), str(port), out_npz,
+                     cfg_json],
+                    env=env, cwd=REPO,
+                    stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                ),
+            )
+        )
+    outputs = []
+    for out_npz, proc in procs:
+        stdout, _ = proc.communicate(timeout=300)
+        assert proc.returncode == 0, stdout.decode()[-3000:]
+        outputs.append(np.load(out_npz))
+
+    np.testing.assert_array_equal(outputs[0]["image"], outputs[1]["image"])
+    assert outputs[0]["num_source"] == outputs[1]["num_source"]
+    assert outputs[0]["num_detector"] == outputs[1]["num_detector"]
+    # 2 iterations x 4096 counted rays.
+    assert outputs[0]["num_source"] == 8192
+    assert outputs[0]["num_detector"] > 0

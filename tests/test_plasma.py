@@ -88,6 +88,31 @@ class TestPlasmaPhotonAccounting:
         np.testing.assert_array_equal(g.direction[keep], m.direction[keep])
         np.testing.assert_array_equal(g.wavelength[keep], m.wavelength[keep])
 
+    def test_interval_gather_at_auto_ceiling(self):
+        """B = 4096, the auto-mode ceiling (plasma.py picks 'matmul' up to
+        4096 bundles): the bundle-windowed one-hot keeps the live tile at
+        (256, sub) — the full (4096, sub) tile is 16 MiB and overflows
+        scoped VMEM (ADVICE r3). Values stay bit-identical to the indexed
+        gather, including the all-zero rows past cum[-1]."""
+        import jax
+        import jax.numpy as jnp
+
+        from xicsrt_tpu.ops.bundle_gather import (
+            interval_gather,
+            interval_gather_xla,
+        )
+
+        B = 4096
+        counts = jax.random.randint(jax.random.key(0), (B,), 0, 7)
+        cum = jnp.cumsum(counts).astype(jnp.int32)
+        table = jax.random.normal(
+            jax.random.key(1), (B, 8)
+        ).astype(jnp.float32)
+        n = int(np.asarray(cum[-1])) + 50  # tail rays -> all-zero rows
+        out = interval_gather(cum, table, n, interpret=True)
+        ref = interval_gather_xla(cum, table, n)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
     def test_all_rays_reach_big_detector(self):
         # Cone aimed at a 4x4 m detector 1 m away: tan(60 deg)*~1.06 < 2.
         results = xicsrt_tpu.raytrace(_plasma_config())

@@ -51,8 +51,14 @@ def default_config() -> dict:
 
     g["keep_meta"] = True
     g["keep_images"] = True
+    # True (full history), False, or 'found': on the fused engine, 'found'
+    # fills a bounded in-kernel reservoir with the chunks that produced
+    # detector hits (ops/fused_trace.py build_fused_run docstring).
     g["keep_history"] = True
     g["history_max_lost"] = 10000
+    # Reservoir size for keep_history='found': at most
+    # history_found_slots * chunk rays of per-element history.
+    g["history_found_slots"] = 8
 
     g["save_config"] = False
     g["save_images"] = False

@@ -253,6 +253,19 @@ def _root_key(general: dict):
     seed = general.get("random_seed")
     if seed is None:
         seed = np.random.SeedSequence().entropy % (2**63)
+        if jax.process_count() > 1:
+            # Seedless multi-host: every process must pass IDENTICAL
+            # replicated arguments to the jitted shard_map, but each
+            # process drew its own entropy — broadcast process-0's so the
+            # global run is consistent (the multi-host analog of the
+            # reference's per-run seeding, xicsrt_multiprocessing.py:48-50).
+            from jax.experimental import multihost_utils
+
+            words = np.asarray(
+                [(seed >> 32) & 0xFFFFFFFF, seed & 0xFFFFFFFF], np.uint32
+            )
+            words = np.asarray(multihost_utils.broadcast_one_to_all(words))
+            seed = (int(words[0]) << 32) | int(words[1])
     return jax.random.key(int(seed))
 
 
@@ -358,7 +371,11 @@ def build_runner(config: dict, pipeline: Pipeline | None = None):
     pipeline = pipeline or Pipeline(config)
     num_iter = int(pipeline.general["number_of_iter"])
     engine_kind = str(g.get("engine", "xla")).lower()
-    if engine_kind in ("fused", "auto") and not bool(g["keep_history"]):
+    kh = g["keep_history"]
+    # keep_history='found': bounded in-kernel found-ray reservoir on the
+    # fused engine (full history stays an XLA-engine feature).
+    fused_history = isinstance(kh, str) and kh.lower() == "found"
+    if engine_kind in ("fused", "auto") and (not kh or fused_history):
         from xicsrt_tpu.ops.fused_trace import FusedUnsupported, build_fast_run
 
         try:
@@ -367,6 +384,8 @@ def build_runner(config: dict, pipeline: Pipeline | None = None):
             fused, _kind = build_fast_run(
                 pipeline, num_iter=num_iter,
                 interpret=jax.default_backend() != "tpu",
+                history_slots=(int(g.get("history_found_slots") or 8)
+                               if fused_history else None),
             )
             build_params = pipeline.params
 
@@ -392,8 +411,9 @@ def build_runner(config: dict, pipeline: Pipeline | None = None):
             log.info("fused engine unavailable (%s); using XLA engine", err)
     elif engine_kind == "fused":
         raise NotImplementedError(
-            "engine='fused' does not keep ray history; set "
-            "keep_history=False (or engine='auto' to fall back)."
+            "engine='fused' does not keep FULL ray history; set "
+            "keep_history=False, keep_history='found' (bounded in-kernel "
+            "reservoir), or engine='auto' to fall back."
         )
     if bool(g["keep_history"]) and num_iter > 1:
         # History mode: compile ONE iteration and loop on the host —

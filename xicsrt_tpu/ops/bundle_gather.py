@@ -70,23 +70,30 @@ def interval_gather(
         n_chunks, 8, sub
     )
 
+    # The bundle axis is processed in static windows of W <= 256 so the
+    # live one-hot tile stays (W, sub): the full (B_pad, sub) tile is
+    # B_pad * sub * 4 bytes — 16 MiB at B_pad = 4096 with the default
+    # chunk, which overflows scoped VMEM (same constraint as the
+    # megakernel's in-kernel gather, fused_trace.py W-window).
+    W = min(B_pad, 256)
+
     def kernel(cum_prev_ref, cum_ref, table_ref, idx_ref, out_ref):
         rows_i = jax.lax.broadcasted_iota(jnp.int32, (8, sub), 0)
         acc = [jnp.zeros((8, sub), jnp.float32) for _ in range(8)]
-        # One-hot lives on (B_pad, sub) — bundles on sublanes, rays on
-        # lanes — and is contracted immediately; it never reaches HBM.
-        cum_col = cum_ref[:, :]  # (B_pad, 1)
-        cum_prev_col = cum_prev_ref[:, :]
         for s in range(8):
             idxs = idx_ref[s, :][None, :]  # (1, sub)
-            oh = ((idxs >= cum_prev_col) & (idxs < cum_col)).astype(
-                jnp.float32
-            )  # (B_pad, sub)
-            val = jax.lax.dot_general(
-                table_ref[:, :], oh,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (8, sub): attribute channels for this sublane's rays
+            val = jnp.zeros((8, sub), jnp.float32)
+            for w0 in range(0, B_pad, W):
+                cum_col = cum_ref[w0:w0 + W, :]        # (W, 1)
+                cum_prev_col = cum_prev_ref[w0:w0 + W, :]
+                oh = ((idxs >= cum_prev_col) & (idxs < cum_col)).astype(
+                    jnp.float32
+                )  # (W, sub), contracted immediately; never reaches HBM
+                val = val + jax.lax.dot_general(
+                    table_ref[:, w0:w0 + W], oh,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (8, sub): attribute channels for this sublane's rays
             sel = rows_i == s
             for k in range(8):
                 acc[k] = acc[k] + jnp.where(sel, val[k][None, :], 0.0)

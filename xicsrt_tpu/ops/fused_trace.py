@@ -18,10 +18,12 @@ Supported subset (config ``general.engine='fused'``; build raises
   angular distributions, monochrome / uniform / voigt wavelengths (exact
   Gauss+Cauchy decomposition), bulk-velocity Doppler, position-based ray
   filters (sightline);
-- plasma (bundle) sources up to 4096 bundles: the O(bundle_count) stage
+- plasma (bundle) sources up to 2^22 bundles: the O(bundle_count) stage
   runs in XLA per iteration, per-ray bundle attributes ride a windowed
-  interval-one-hot MXU gather in-kernel, then voxel offsets, focused
-  cones, exact-Voigt wavelengths and Doppler;
+  interval-one-hot MXU gather in-kernel (beyond 4096 bundles the kernel
+  DMAs a constant-size bundle window per chunk — zero-count bundles are
+  compacted so a chunk's bundle span is bounded by chunk+1), then voxel
+  offsets, focused cones, exact-Voigt wavelengths and Doppler;
 - optic chain of: plane + none (apertures/detectors, circle/square/
   rectangle/ellipse aperture logic), plane/sphere/cylinder/torus + mirror
   or + crystal with gaussian/step/file rocking (torus quartic solved
@@ -274,10 +276,15 @@ def _plasma_spec(source):
     """
     p = source.param
     B = int(source.bundle_count)
-    if B > 4096:
+    if B > 1 << 22:
+        # The per-iteration XLA bundle stage (origins, profiles, Poisson
+        # counts, compaction sort) is O(B log B) and its tables live in
+        # HBM per iteration; beyond ~4e6 bundles that stage dominates.
+        # (The reference caps at max_bundles=1e7, _XicsrtPlasmaGeneric
+        # .py:155.)
         raise FusedUnsupported(
-            f"bundle_count {B} > 4096 (in-kernel gather is O(rays * "
-            "bundles); use the hybrid trace path)"
+            f"bundle_count {B} > 2^22 (per-iteration bundle stage would "
+            "dominate; use the hybrid trace path)"
         )
     w0 = _f(p["wavelength"])
     mass_number = _f(p["mass_number"])
@@ -573,10 +580,16 @@ def _collect_tables(optics):
 
 def _trace_chain(optics, sub, keep_meta, keep_images, draw, count_into,
                  image_refs, table_refs, px, py, pz, dx, dy, dz, wl,
-                 alive, wt=None, mode="mc", image_mode="nearest"):
+                 alive, wt=None, mode="mc", image_mode="nearest",
+                 record=None):
     """Shared optic-chain body for both fused kernels (megakernel and
     trace-only): intersect -> bounds/aperture -> interact -> count ->
-    image-accumulate for every optic, entirely in VMEM/registers."""
+    image-accumulate for every optic, entirely in VMEM/registers.
+
+    ``record(elem, px, py, pz, dx, dy, dz, wl, alive, wt)`` (optional) is
+    called with the post-element ray state after each optic — the
+    found-history reservoir's capture hook (element 0, the source, is the
+    caller's job)."""
     f32 = jnp.float32
 
     def normal_draw():
@@ -783,11 +796,29 @@ def _trace_chain(optics, sub, keep_meta, keep_images, draw, count_into,
                 Y_ = Oly + t * Dly
                 Z_ = Olz + t * Dlz
                 rho = jnp.sqrt(jnp.maximum(X_ * X_ + Z_ * Z_, 1e-30))
-                G = (rho - r_maj) ** 2 + Y_ * Y_ - r_min * r_min
-                Gp = (2.0 * (rho - r_maj) / rho * (X_ * Dlx + Z_ * Dlz)
-                      + 2.0 * Y_ * Dly)
-                Gp = jnp.where(jnp.abs(Gp) > 1e-12, Gp, 1e-12)
-                step = G / Gp
+                rr = rho - r_maj
+                G = rr * rr + Y_ * Y_ - r_min * r_min
+                rhop = (X_ * Dlx + Z_ * Dlz) / rho
+                Gp = 2.0 * rr * rhop + 2.0 * Y_ * Dly
+                # Grazing rays make the patch root a (near-)double root:
+                # plain Newton converges only LINEARLY there and the
+                # 5-iteration step test classified ~6% of a wide-spread
+                # cone's silhouette band as misses (ADVICE r3, caught by
+                # test_torus_wide_spread_grazing). Take the root of the
+                # LOCAL QUADRATIC model instead — exact for double roots,
+                # identical to Newton as G'' -> 0 — and fall back to the
+                # Newton step where the model has no real root (true
+                # misses: |step| then stays large and the ray masks out).
+                rhopp = ((Dlx * Dlx + Dlz * Dlz) - rhop * rhop) / rho
+                Gpp = 2.0 * (rhop * rhop + rr * rhopp) + 2.0 * Dly * Dly
+                disc = Gp * Gp - 2.0 * Gpp * G
+                sgn = jnp.where(Gp >= 0.0, 1.0, -1.0)
+                denom_q = Gp + sgn * jnp.sqrt(jnp.maximum(disc, 0.0))
+                denom_q = jnp.where(
+                    jnp.abs(denom_q) > 1e-12, denom_q, sgn * 1e-12)
+                Gp_safe = jnp.where(jnp.abs(Gp) > 1e-12, Gp, sgn * 1e-12)
+                step = jnp.where(
+                    disc >= 0.0, 2.0 * G / denom_q, G / Gp_safe)
                 t = t - step
             # Converged iff the last Newton step is tiny (quadratic
             # convergence); the hit-point normal below uses the final t,
@@ -1013,6 +1044,8 @@ def _trace_chain(optics, sub, keep_meta, keep_images, draw, count_into,
         alive = mask
         if keep_meta:
             count_into(1 + ei, alive)
+        if record is not None:
+            record(1 + ei, px, py, pz, dx, dy, dz, wl, alive, wt)
 
         # ---- image accumulation ------------------------------------
         if o["image"] and keep_images:
@@ -1095,10 +1128,11 @@ def _trace_chain(optics, sub, keep_meta, keep_images, draw, count_into,
 
 def build_fused_run(pipeline, num_iter: int | None = None,
                     chunk: int = 8192, interpret: bool = False,
-                    rng: str | None = None):
+                    rng: str | None = None,
+                    history_slots: int | None = None):
     """Compile the pipeline into one Pallas kernel.
 
-    Returns ``run(key) -> {"meta", "image", "history": {}}`` tracing
+    Returns ``run(key) -> {"meta", "image", "history"}`` tracing
     ``pipeline.num_rays * num_iter`` rays per call. Geometry is baked in as
     compile-time constants (rebuild to change it); use the XLA engine for
     differentiable parameters.
@@ -1108,6 +1142,17 @@ def build_fused_run(pipeline, num_iter: int | None = None,
     the kernel (HBM traffic — slower, but bit-identical across backends and
     the only option under interpret mode, whose ``prng_random_bits`` is a
     zero stub).
+
+    ``history_slots``: found-ray history reservoir (``keep_history='found'``,
+    the fused analog of the reference's full-history output,
+    ``xicsrt_raytrace.py:229-278``). The kernel mirrors every element's
+    post-trace ray state into a VMEM scratch; a chunk whose final element
+    keeps at least one ray is DMA'd into one of ``history_slots`` HBM slots
+    (first-come, bounded: at most ``history_slots * chunk`` rays of
+    history, zero cost on the no-history path). The host reconstructs
+    per-element ``Rays`` from the used slots — found rays are complete up
+    to the slot budget; the lost rays in those same chunks double as the
+    truncated lost sample.
     """
     g = pipeline.general
     mode = str(g.get("interact_mode", "mc")).lower()
@@ -1135,11 +1180,25 @@ def build_fused_run(pipeline, num_iter: int | None = None,
     if chunk % (8 * 128) != 0:
         raise ValueError("chunk must be a multiple of 1024")
     N_budget = pipeline.num_rays
+    plasma_windowed = False
+    W_max = 0
     if is_plasma:
         # The in-kernel bundle gather's windowed one-hot tiles put the
         # plasma kernel's scoped-VMEM peak well above the generic one;
         # chunk 8192 overflows the 16M scoped limit (measured 23.2M).
         chunk = min(chunk, 4096)
+        # Beyond 4096 bundles the full per-iteration table no longer fits
+        # VMEM as a grid block. Because bundle intervals tile the ray axis
+        # CONTIGUOUSLY and the XLA stage compacts zero-count bundles to
+        # the back, a chunk of `chunk` rays intersects at most chunk+1
+        # bundles — so the kernel DMAs a constant-size bundle window
+        # [b_lo, b_lo + W_max) from HBM per chunk (b_lo precomputed in
+        # XLA, 128-aligned) and gathers inside it. Cost per ray is then
+        # INDEPENDENT of bundle_count; HBM traffic ~42 B/ray.
+        plasma_windowed = src["B_pad"] > 4096
+        if plasma_windowed:
+            W_max = chunk + 256
+            src["B_pad"] = max(src["B_pad"], _round_up(W_max, 128))
         # Iterations keep their own bundle samples (per-iteration tables
         # selected by the grid index map), so the photon statistics match
         # the XLA engine's per-iteration resampling exactly.
@@ -1168,6 +1227,12 @@ def build_fused_run(pipeline, num_iter: int | None = None,
     keep_images = bool(g.get("keep_images", True))
     if not keep_images:
         images = []
+    n_images = len(images)
+
+    # Found-ray history reservoir (see docstring).
+    S_hist = int(history_slots) if history_slots else 0
+    n_fields = 9 if mode == "weight" else 8
+    n_hist_rows = n_fields * n_elems if S_hist else 0
 
     if rng is None:
         rng = "input" if interpret else "hw"
@@ -1193,9 +1258,24 @@ def build_fused_run(pipeline, num_iter: int | None = None,
         else:
             rest = list(refs)
         if is_plasma:
-            cum_prev_ref, cum_ref, btable_ref, *rest = rest
+            if plasma_windowed:
+                b_lo_ref, cum_prev_hbm, cum_hbm, btable_hbm, *rest = rest
+            else:
+                cum_prev_ref, cum_ref, btable_ref, *rest = rest
         table_refs = rest[:len(tables)]
-        counts_ref, *image_refs = rest[len(tables):]
+        tail = rest[len(tables):]
+        counts_ref = tail[0]
+        image_refs = list(tail[1:1 + n_images])
+        extra = list(tail[1 + n_images:])
+        if S_hist:
+            hist_ref = extra.pop(0)
+        # Scratch refs follow outputs, in scratch_shapes order: plasma
+        # window scratches first, then the history reservoir's.
+        if plasma_windowed:
+            cum_prev_ref, cum_ref, btable_ref, win_sem = extra[:4]
+            extra = extra[4:]
+        if S_hist:
+            hist_scratch, slot_ref, dma_sem = extra[:3]
         step = pl.program_id(0)
 
         @pl.when(step == 0)
@@ -1203,6 +1283,34 @@ def build_fused_run(pipeline, num_iter: int | None = None,
             counts_ref[:] = jnp.zeros_like(counts_ref)
             for ref in image_refs:
                 ref[:] = jnp.zeros_like(ref)
+            if S_hist:
+                slot_ref[0] = 0
+
+        if plasma_windowed:
+            # DMA this chunk's bundle window [b0, b0 + W_pad) from the
+            # per-iteration HBM tables into the VMEM scratch mirrors
+            # (b0 precomputed 128-aligned in XLA; see run()).
+            it_idx = step // np.int32(chunks_per_iter)
+            b0 = pl.multiple_of(b_lo_ref[0], 128)
+            w_pad = cum_ref.shape[0]
+            cp0 = pltpu.make_async_copy(
+                cum_prev_hbm.at[it_idx, pl.ds(b0, w_pad), :],
+                cum_prev_ref, win_sem.at[0],
+            )
+            cp1 = pltpu.make_async_copy(
+                cum_hbm.at[it_idx, pl.ds(b0, w_pad), :],
+                cum_ref, win_sem.at[1],
+            )
+            cp2 = pltpu.make_async_copy(
+                btable_hbm.at[it_idx, :, pl.ds(b0, w_pad)],
+                btable_ref, win_sem.at[2],
+            )
+            cp0.start()
+            cp1.start()
+            cp2.start()
+            cp0.wait()
+            cp1.wait()
+            cp2.wait()
 
         if rng == "hw":
             # program_id cannot feed tpu.prng_set_seed_32 directly; fold the
@@ -1262,14 +1370,16 @@ def build_fused_run(pipeline, num_iter: int | None = None,
             # The bundle axis is processed in static windows so the live
             # one-hot tile stays (W, sub) — the full (B_pad, sub) tile at
             # chunk 8192 overflows scoped VMEM.
-            W = min(src["B_pad"], 256)
+            B_loop = (_round_up(W_max, 128) if plasma_windowed
+                      else src["B_pad"])
+            W = min(B_loop, 256)
             acc = [jnp.zeros((8, sub), f32) for _ in range(8)]
             matched = jnp.zeros((8, sub), f32)
             for s in range(8):
                 idxs = ray_index[s, :][None, :]  # (1, sub)
                 val = jnp.zeros((8, sub), f32)
                 m_s = jnp.zeros((1, sub), f32)
-                for w0 in range(0, src["B_pad"], W):
+                for w0 in range(0, B_loop, W):
                     cum_col = cum_ref[w0:w0 + W, :]        # (W, 1) int32
                     cum_prev_col = cum_prev_ref[w0:w0 + W, :]
                     oh = ((idxs >= cum_prev_col)
@@ -1521,10 +1631,56 @@ def build_fused_run(pipeline, num_iter: int | None = None,
 
         # ---- optic chain (shared with the trace-only kernel) -----------
         wt = None if mode == "mc" else jnp.ones((8, sub), f32)
+        if S_hist:
+            final_alive = [None]
+
+            def record(ei, px_, py_, pz_, dx_, dy_, dz_, wl_, alive_, wt_):
+                base = ei * n_fields
+                hist_scratch[base + 0] = px_
+                hist_scratch[base + 1] = py_
+                hist_scratch[base + 2] = pz_
+                hist_scratch[base + 3] = dx_
+                hist_scratch[base + 4] = dy_
+                hist_scratch[base + 5] = dz_
+                hist_scratch[base + 6] = (
+                    wl_ if wl_ is not None
+                    else jnp.full((8, sub), src["wavelength"], f32)
+                )
+                hist_scratch[base + 7] = alive_.astype(f32)
+                if mode == "weight":
+                    hist_scratch[base + 8] = (
+                        wt_ if wt_ is not None else jnp.ones((8, sub), f32)
+                    )
+                final_alive[0] = alive_  # last call = final element
+
+            record(0, px, py, pz, dx, dy, dz, wl, alive, wt)
+        else:
+            record = None
         _trace_chain(optics, sub, keep_meta, keep_images, draw,
                      count_into, image_refs, table_refs, px, py, pz,
                      dx, dy, dz, wl, alive, wt=wt, mode=mode,
-                     image_mode=image_mode)
+                     image_mode=image_mode, record=record)
+        if S_hist:
+            # Reservoir write: a chunk whose FINAL element keeps at least
+            # one ray claims the next free HBM slot (sequential TPU grid:
+            # the SMEM slot counter is race-free). counts[1, 0] publishes
+            # the number of used slots to the host.
+            cnt_found = jnp.sum(final_alive[0].astype(jnp.int32))
+            slot = slot_ref[0]
+
+            @pl.when((cnt_found > 0) & (slot < S_hist))
+            def _write_hist():
+                cp = pltpu.make_async_copy(
+                    hist_scratch, hist_ref.at[slot], dma_sem
+                )
+                cp.start()
+                cp.wait()
+                slot_ref[0] = slot + 1
+                crow = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+                ccol = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+                counts_ref[:] += ((crow == 1) & (ccol == 0)).astype(
+                    jnp.int32
+                )
 
     out_shapes = [jax.ShapeDtypeStruct((8, 128), jnp.int32)]
     out_specs = [pl.BlockSpec((8, 128), lambda i: (0, 0),
@@ -1537,6 +1693,28 @@ def build_fused_run(pipeline, num_iter: int | None = None,
             pl.BlockSpec((im["nx_pad"], im["ny_pad"]), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
         )
+    scratch_shapes = []
+    if S_hist:
+        # Reservoir buffer stays in HBM; slots are DMA'd from the VMEM
+        # mirror on demand.
+        out_shapes.append(
+            jax.ShapeDtypeStruct((S_hist, n_hist_rows, 8, sub), f32)
+        )
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+    if plasma_windowed:
+        W_pad = _round_up(W_max, 128)
+        scratch_shapes += [
+            pltpu.VMEM((W_pad, 1), jnp.int32),   # cum_prev window
+            pltpu.VMEM((W_pad, 1), jnp.int32),   # cum window
+            pltpu.VMEM((8, W_pad), f32),         # attribute window
+            pltpu.SemaphoreType.DMA((3,)),
+        ]
+    if S_hist:
+        scratch_shapes += [
+            pltpu.VMEM((n_hist_rows, 8, sub), f32),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+        ]
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
     if rng == "input":
@@ -1545,22 +1723,33 @@ def build_fused_run(pipeline, num_iter: int | None = None,
                          memory_space=pltpu.VMEM)
         )
     if is_plasma:
-        # Per-iteration bundle tables, selected by the grid index map —
-        # zero per-chunk cost beyond the (tiny) block DMA.
         B_pad = src["B_pad"]
         cpi = chunks_per_iter
-        in_specs.append(
-            pl.BlockSpec((None, B_pad, 1), lambda i: (i // cpi, 0, 0),
-                         memory_space=pltpu.VMEM)
-        )
-        in_specs.append(
-            pl.BlockSpec((None, B_pad, 1), lambda i: (i // cpi, 0, 0),
-                         memory_space=pltpu.VMEM)
-        )
-        in_specs.append(
-            pl.BlockSpec((None, 8, B_pad), lambda i: (i // cpi, 0, 0),
-                         memory_space=pltpu.VMEM)
-        )
+        if plasma_windowed:
+            # Per-chunk window start (SMEM scalar) + full per-iteration
+            # tables in HBM, sliced by in-kernel DMA.
+            in_specs.append(
+                pl.BlockSpec((1,), lambda i: (i,),
+                             memory_space=pltpu.SMEM)
+            )
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        else:
+            # Per-iteration bundle tables, selected by the grid index map
+            # — zero per-chunk cost beyond the (tiny) block DMA.
+            in_specs.append(
+                pl.BlockSpec((None, B_pad, 1), lambda i: (i // cpi, 0, 0),
+                             memory_space=pltpu.VMEM)
+            )
+            in_specs.append(
+                pl.BlockSpec((None, B_pad, 1), lambda i: (i // cpi, 0, 0),
+                             memory_space=pltpu.VMEM)
+            )
+            in_specs.append(
+                pl.BlockSpec((None, 8, B_pad), lambda i: (i // cpi, 0, 0),
+                             memory_space=pltpu.VMEM)
+            )
         bundle_tables = pipeline.source.make_bundle_tables(
             getattr(pipeline, "source_filter_fns", None)
         )
@@ -1578,6 +1767,7 @@ def build_fused_run(pipeline, num_iter: int | None = None,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
+        scratch_shapes=scratch_shapes,
         # Off-chip: 'input' mode uses no TPU PRNG primitives, so the plain
         # interpreter suffices — and unlike InterpretParams it composes
         # with shard_map on a virtual CPU mesh (InterpretParams deadlocks
@@ -1611,12 +1801,33 @@ def build_fused_run(pipeline, num_iter: int | None = None,
             # O(bundle_count) stage in XLA, per iteration — same key
             # discipline as the XLA engine's generate (split 7, first 3).
             B, B_pad_ = src["B"], src["B_pad"]
-            cps, cs, ts = [], [], []
+            cps, cs, ts, b_los = [], [], [], []
             for j_key in jax.random.split(key, num_iter):
                 ks = jax.random.split(j_key, 7)
                 cum, btab, _tot = bundle_tables(
                     src_params, filter_params, ks[0], ks[1], ks[2]
                 )
+                if plasma_windowed:
+                    # Stable-partition zero-count bundles to the back so
+                    # any `chunk` consecutive rays span <= chunk+1 table
+                    # rows — the windowed gather's coverage guarantee.
+                    # Empty intervals [c, c) never match, so attribute
+                    # values of moved bundles are irrelevant.
+                    counts = cum - jnp.concatenate(
+                        [jnp.zeros((1,), cum.dtype), cum[:-1]]
+                    )
+                    order = jnp.argsort((counts == 0).astype(jnp.int32))
+                    counts = counts[order]
+                    btab = btab[order]
+                    cum = jnp.cumsum(counts)
+                    W_pad_ = _round_up(W_max, 128)
+                    r0s = jnp.arange(cpi, dtype=jnp.int32) * chunk
+                    idx = jnp.searchsorted(
+                        cum, r0s, side="right"
+                    ).astype(jnp.int32)
+                    b_los.append(jnp.clip(
+                        (idx // 128) * 128, 0, B_pad_ - W_pad_
+                    ))
                 cum_prev = jnp.concatenate(
                     [jnp.zeros((1,), cum.dtype), cum[:-1]]
                 )
@@ -1627,14 +1838,22 @@ def build_fused_run(pipeline, num_iter: int | None = None,
                 ts.append(jnp.zeros((8, B_pad_), jnp.float32)
                           .at[:, :B].set(btab.T))
             plasma_args = [jnp.stack(cps), jnp.stack(cs), jnp.stack(ts)]
+            if plasma_windowed:
+                plasma_args = [
+                    jnp.stack(b_los).reshape(-1)
+                ] + plasma_args
         table_args = [jnp.asarray(t) for t in tables]
         if rng == "input":
             uniforms = jax.random.uniform(
                 key, (n_chunks, n_draws, 8, sub), dtype=f32
             )
-            counts, *imgs = call(seed, uniforms, *plasma_args, *table_args)
+            outs = call(seed, uniforms, *plasma_args, *table_args)
         else:
-            counts, *imgs = call(seed, *plasma_args, *table_args)
+            outs = call(seed, *plasma_args, *table_args)
+        if S_hist:
+            counts, *imgs, hist = outs
+        else:
+            counts, *imgs = outs
         meta = (
             {name: counts[0, i] for i, name in enumerate(element_names)}
             if keep_meta else {}
@@ -1643,7 +1862,34 @@ def build_fused_run(pipeline, num_iter: int | None = None,
             name: img[:nx, :ny]
             for name, (nx, ny), img in zip(image_names, image_dims, imgs)
         }
-        return {"meta": meta, "image": image, "history": {}}
+        history = {}
+        if S_hist:
+            from xicsrt_tpu.rays import Rays
+
+            slots_used = counts[1, 0]
+            valid_ray = jnp.repeat(
+                jnp.arange(S_hist, dtype=jnp.int32) < slots_used, chunk
+            )
+
+            def elem_rays(ei):
+                base = ei * n_fields
+
+                def fl(k):
+                    return hist[:, base + k].reshape(-1)
+
+                return Rays(
+                    origin=jnp.stack([fl(0), fl(1), fl(2)], axis=1),
+                    direction=jnp.stack([fl(3), fl(4), fl(5)], axis=1),
+                    wavelength=fl(6),
+                    weight=(fl(8) if mode == "weight"
+                            else jnp.ones((S_hist * chunk,), f32)),
+                    mask=(fl(7) != 0.0) & valid_ray,
+                )
+
+            history = {
+                name: elem_rays(i) for i, name in enumerate(element_names)
+            }
+        return {"meta": meta, "image": image, "history": history}
 
     return run
 
@@ -1850,7 +2096,8 @@ def build_fused_trace_run(pipeline, num_iter: int | None = None,
 
 
 def build_fast_run(pipeline, num_iter: int | None = None,
-                   interpret: bool = False, chunk: int | None = None):
+                   interpret: bool = False, chunk: int | None = None,
+                   history_slots: int | None = None):
     """Fastest applicable Pallas path for a pipeline.
 
     Tries the single-megakernel engine first (zero HBM traffic; plasma
@@ -1860,14 +2107,23 @@ def build_fast_run(pipeline, num_iter: int | None = None,
     ``FusedUnsupported`` when the optic chain itself is unsupported
     (faceted/rough meshes).
 
+    ``history_slots``: enable the found-ray history reservoir
+    (megakernel only — the hybrid path raises ``FusedUnsupported`` when
+    history is requested).
+
     Returns ``(run, kind)`` with kind in {"fused", "fused_trace"}.
     """
     kwargs = {} if chunk is None else {"chunk": chunk}
     try:
         return (build_fused_run(pipeline, num_iter=num_iter,
-                                interpret=interpret, **kwargs), "fused")
+                                interpret=interpret,
+                                history_slots=history_slots, **kwargs),
+                "fused")
     except FusedUnsupported:
-        pass
+        if history_slots:
+            raise FusedUnsupported(
+                "found-history reservoir requires the megakernel path"
+            )
     return (build_fused_trace_run(pipeline, num_iter=num_iter,
                                   interpret=interpret, **kwargs),
             "fused_trace")
