@@ -59,7 +59,7 @@ def _config(crystal, intensity, num_iter, **general):
     }
 
 
-def _plasma_config(intensity, num_iter):
+def _plasma_config(intensity, num_iter, bundle_count=1000):
     # time_resolution chosen so the EXPECTED photon count equals
     # `intensity`: N = emissivity * t * volume * sin^2(spread/2)
     # (cf. sources/plasma.py intensity formula and tests/test_plasma.py).
@@ -83,7 +83,8 @@ def _plasma_config(intensity, num_iter):
                 "wavelength": 3.9492,
                 "time_resolution": t_res,
                 "bundle_volume": 1e-6,
-                "bundle_count": 1000,
+                "bundle_count": bundle_count,
+                "max_bundles": max(bundle_count * 2, 10000),
                 "use_poisson": True,
                 # The static budget carries headroom above the expectation
                 # (sources/plasma.py _estimate_budget); 1.5x covers it.
@@ -119,6 +120,9 @@ SCENARIOS = {
                  radius=1.0, mesh_size=(41, 41),
                  mesh_coarse_size=(11, 11)), n, it),
     "plasma_torus": _plasma_config,
+    # Reference-scale plasma (1e5 bundles; _XicsrtPlasmaGeneric.py:155
+    # defaults max_bundles=1e7): the page-windowed in-kernel gather.
+    "plasma_100k": lambda n, it: _plasma_config(n, it, bundle_count=100000),
     "diff_fwd_bwd": lambda n, it: _config(
         _crystal(class_name="XicsrtOpticSphericalCrystal", radius=1.0),
         n, it),
@@ -181,9 +185,11 @@ def _flops_per_ray(pipeline, engine):
 
     flops += SOURCE
     if isinstance(pipeline.source, PlasmaGeneric):
-        # Windowed interval-one-hot bundle gather: 8 attrs x B_pad MACs.
+        # Windowed interval-one-hot bundle gather: 8 attrs x rows MACs.
+        # Beyond 4096 bundles the kernel reads two chunk-sized pages
+        # (2 x 2048 rows) regardless of bundle_count.
         B_pad = _round_up(max(int(pipeline.source.bundle_count), 128), 128)
-        flops += 2.0 * 8.0 * B_pad
+        flops += 2.0 * 8.0 * min(B_pad, 4096)
     return flops, mpr
 
 

@@ -596,6 +596,17 @@ def _trace_chain(optics, sub, keep_meta, keep_images, draw, count_into,
         u = jnp.clip(draw(), 1e-7, 1.0 - 1e-7)
         return math.sqrt(2.0) * jax.lax.erf_inv(2.0 * u - 1.0)
 
+    def normal_pair():
+        """Two standard normals from two uniforms (Box-Muller): ~2x
+        cheaper than two erf_inv draws when normals come in pairs (the
+        mosaic layer loop burns 2 per layer). Same draw count, so the
+        'input' RNG mode's static slot accounting is unchanged."""
+        u1 = jnp.clip(draw(), 1e-7, 1.0)
+        u2 = draw()
+        r = jnp.sqrt(-2.0 * jnp.log(u1))
+        th = (2.0 * math.pi) * u2
+        return r * jnp.cos(th), r * jnp.sin(th)
+
     def rock_prob(rk, delta):
         """Reflection probability from the rocking curve at deviation
         ``delta`` [rad] (gaussian / step / file — shared by the crystal
@@ -980,8 +991,9 @@ def _trace_chain(optics, sub, keep_meta, keep_images, draw, count_into,
             if mode == "mc":
                 refl = jnp.zeros_like(mask)
                 for _layer in range(mz["depth"]):
-                    gx = mz["sigma_n"] * normal_draw()
-                    gy = mz["sigma_n"] * normal_draw()
+                    gx, gy = normal_pair()
+                    gx = mz["sigma_n"] * gx
+                    gy = mz["sigma_n"] * gy
                     wn = jax.lax.rsqrt(1.0 + gx * gx + gy * gy)
                     nmx = gx * wn * o2x_ + gy * wn * o1x_ + wn * nxv
                     nmy = gx * wn * o2y_ + gy * wn * o1y_ + wn * nyv
@@ -1011,8 +1023,9 @@ def _trace_chain(optics, sub, keep_meta, keep_images, draw, count_into,
                 surv = jnp.ones_like(wt)
                 cum = jnp.zeros_like(wt)
                 for _layer in range(mz["depth"]):
-                    gx = mz["sigma_n"] * normal_draw()
-                    gy = mz["sigma_n"] * normal_draw()
+                    gx, gy = normal_pair()
+                    gx = mz["sigma_n"] * gx
+                    gy = mz["sigma_n"] * gy
                     wn = jax.lax.rsqrt(1.0 + gx * gx + gy * gy)
                     nmx = gx * wn * o2x_ + gy * wn * o1x_ + wn * nxv
                     nmy = gx * wn * o2y_ + gy * wn * o1y_ + wn * nyv
@@ -1181,7 +1194,6 @@ def build_fused_run(pipeline, num_iter: int | None = None,
         raise ValueError("chunk must be a multiple of 1024")
     N_budget = pipeline.num_rays
     plasma_windowed = False
-    W_max = 0
     if is_plasma:
         # The in-kernel bundle gather's windowed one-hot tiles put the
         # plasma kernel's scoped-VMEM peak well above the generic one;
@@ -1191,14 +1203,21 @@ def build_fused_run(pipeline, num_iter: int | None = None,
         # VMEM as a grid block. Because bundle intervals tile the ray axis
         # CONTIGUOUSLY and the XLA stage compacts zero-count bundles to
         # the back, a chunk of `chunk` rays intersects at most chunk+1
-        # bundles — so the kernel DMAs a constant-size bundle window
-        # [b_lo, b_lo + W_max) from HBM per chunk (b_lo precomputed in
-        # XLA, 128-aligned) and gathers inside it. Cost per ray is then
-        # INDEPENDENT of bundle_count; HBM traffic ~42 B/ray.
+        # bundles — so each chunk reads TWO consecutive chunk-sized pages
+        # of the tables, selected by a scalar-prefetched per-chunk page
+        # index (Pallas block pipeline does the DMA). Cost per ray is
+        # then INDEPENDENT of bundle_count; HBM traffic ~50 B/ray.
         plasma_windowed = src["B_pad"] > 4096
         if plasma_windowed:
-            W_max = chunk + 256
-            src["B_pad"] = max(src["B_pad"], _round_up(W_max, 128))
+            # The unrolled two-page gather's live one-hot tiles scale
+            # ~quadratically with chunk (measured scoped-VMEM: 22 MiB at
+            # chunk 2048, 106 MiB at 4096); 2048 plus a raised
+            # vmem_limit_bytes (below) fits v5e's 128 MiB VMEM.
+            chunk = min(chunk, 2048)
+            # Page size = chunk: a chunk's (compacted) bundle span of
+            # <= chunk+1 rows always fits in two consecutive pages.
+            src["page"] = chunk
+            src["B_pad"] = _round_up(max(src["B_pad"], 2 * chunk), chunk)
         # Iterations keep their own bundle samples (per-iteration tables
         # selected by the grid index map), so the photon statistics match
         # the XLA engine's per-iteration resampling exactly.
@@ -1252,16 +1271,25 @@ def build_fused_run(pipeline, num_iter: int | None = None,
 
     f32 = jnp.float32
 
-    def kernel(seed_ref, *refs):
+    def kernel(*refs):
+        rest = list(refs)
+        if plasma_windowed:
+            rest.pop(0)  # scalar-prefetch page array (drives index maps)
+        seed_ref = rest.pop(0)
         if rng == "input":
-            rng_ref, *rest = refs
-        else:
-            rest = list(refs)
+            rng_ref = rest.pop(0)
         if is_plasma:
             if plasma_windowed:
-                b_lo_ref, cum_prev_hbm, cum_hbm, btable_hbm, *rest = rest
+                # Two consecutive bundle PAGES selected by the prefetched
+                # per-chunk page index (same underlying per-iteration
+                # arrays, two block mappings each).
+                (cpp0, cpp1, cp0, cp1, tb0, tb1), rest = (
+                    rest[:6], rest[6:]
+                )
+                plasma_pages = [(cpp0, cp0, tb0), (cpp1, cp1, tb1)]
             else:
                 cum_prev_ref, cum_ref, btable_ref, *rest = rest
+                plasma_pages = [(cum_prev_ref, cum_ref, btable_ref)]
         table_refs = rest[:len(tables)]
         tail = rest[len(tables):]
         counts_ref = tail[0]
@@ -1269,12 +1297,6 @@ def build_fused_run(pipeline, num_iter: int | None = None,
         extra = list(tail[1 + n_images:])
         if S_hist:
             hist_ref = extra.pop(0)
-        # Scratch refs follow outputs, in scratch_shapes order: plasma
-        # window scratches first, then the history reservoir's.
-        if plasma_windowed:
-            cum_prev_ref, cum_ref, btable_ref, win_sem = extra[:4]
-            extra = extra[4:]
-        if S_hist:
             hist_scratch, slot_ref, dma_sem = extra[:3]
         step = pl.program_id(0)
 
@@ -1285,32 +1307,6 @@ def build_fused_run(pipeline, num_iter: int | None = None,
                 ref[:] = jnp.zeros_like(ref)
             if S_hist:
                 slot_ref[0] = 0
-
-        if plasma_windowed:
-            # DMA this chunk's bundle window [b0, b0 + W_pad) from the
-            # per-iteration HBM tables into the VMEM scratch mirrors
-            # (b0 precomputed 128-aligned in XLA; see run()).
-            it_idx = step // np.int32(chunks_per_iter)
-            b0 = pl.multiple_of(b_lo_ref[0], 128)
-            w_pad = cum_ref.shape[0]
-            cp0 = pltpu.make_async_copy(
-                cum_prev_hbm.at[it_idx, pl.ds(b0, w_pad), :],
-                cum_prev_ref, win_sem.at[0],
-            )
-            cp1 = pltpu.make_async_copy(
-                cum_hbm.at[it_idx, pl.ds(b0, w_pad), :],
-                cum_ref, win_sem.at[1],
-            )
-            cp2 = pltpu.make_async_copy(
-                btable_hbm.at[it_idx, :, pl.ds(b0, w_pad)],
-                btable_ref, win_sem.at[2],
-            )
-            cp0.start()
-            cp1.start()
-            cp2.start()
-            cp0.wait()
-            cp1.wait()
-            cp2.wait()
 
         if rng == "hw":
             # program_id cannot feed tpu.prng_set_seed_32 directly; fold the
@@ -1370,22 +1366,43 @@ def build_fused_run(pipeline, num_iter: int | None = None,
             # The bundle axis is processed in static windows so the live
             # one-hot tile stays (W, sub) — the full (B_pad, sub) tile at
             # chunk 8192 overflows scoped VMEM.
-            B_loop = (_round_up(W_max, 128) if plasma_windowed
-                      else src["B_pad"])
-            W = min(B_loop, 256)
+            if plasma_windowed:
+                # Transpose each lane-major cum page ONCE per chunk:
+                # column k of the (128, rows) result holds bundles
+                # [k*128, (k+1)*128) on SUBLANES — the orientation the
+                # interval-one-hot compare needs.
+                pages = [
+                    (jnp.transpose(cpr[:], (1, 0)),
+                     jnp.transpose(cr[:], (1, 0)), tr)
+                    for cpr, cr, tr in plasma_pages
+                ]
+                windows = []
+                for cpw, cw, tr in pages:
+                    for k in range(cw.shape[1]):
+                        windows.append(
+                            (cpw[:, k:k + 1], cw[:, k:k + 1],
+                             tr, k * 128, 128)
+                        )
+            else:
+                B_loop = src["B_pad"]
+                W = min(B_loop, 256)
+                windows = [
+                    (cum_prev_r[w0:w0 + W, :], cum_r[w0:w0 + W, :],
+                     btable_r, w0, W)
+                    for cum_prev_r, cum_r, btable_r in plasma_pages
+                    for w0 in range(0, B_loop, W)
+                ]
             acc = [jnp.zeros((8, sub), f32) for _ in range(8)]
             matched = jnp.zeros((8, sub), f32)
             for s in range(8):
                 idxs = ray_index[s, :][None, :]  # (1, sub)
                 val = jnp.zeros((8, sub), f32)
                 m_s = jnp.zeros((1, sub), f32)
-                for w0 in range(0, B_loop, W):
-                    cum_col = cum_ref[w0:w0 + W, :]        # (W, 1) int32
-                    cum_prev_col = cum_prev_ref[w0:w0 + W, :]
+                for cum_prev_col, cum_col, btable_r, w0, W in windows:
                     oh = ((idxs >= cum_prev_col)
                           & (idxs < cum_col)).astype(f32)
                     val = val + jax.lax.dot_general(
-                        btable_ref[:, w0:w0 + W], oh,
+                        btable_r[:, w0:w0 + W], oh,
                         dimension_numbers=(((1,), (0,)), ((), ())),
                         preferred_element_type=f32,
                     )  # (8, sub)
@@ -1683,14 +1700,14 @@ def build_fused_run(pipeline, num_iter: int | None = None,
                 )
 
     out_shapes = [jax.ShapeDtypeStruct((8, 128), jnp.int32)]
-    out_specs = [pl.BlockSpec((8, 128), lambda i: (0, 0),
+    out_specs = [pl.BlockSpec((8, 128), lambda i, *_: (0, 0),
                               memory_space=pltpu.VMEM)]
     for _, im in images:
         out_shapes.append(
             jax.ShapeDtypeStruct((im["nx_pad"], im["ny_pad"]), f32)
         )
         out_specs.append(
-            pl.BlockSpec((im["nx_pad"], im["ny_pad"]), lambda i: (0, 0),
+            pl.BlockSpec((im["nx_pad"], im["ny_pad"]), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM)
         )
     scratch_shapes = []
@@ -1701,15 +1718,6 @@ def build_fused_run(pipeline, num_iter: int | None = None,
             jax.ShapeDtypeStruct((S_hist, n_hist_rows, 8, sub), f32)
         )
         out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
-    if plasma_windowed:
-        W_pad = _round_up(W_max, 128)
-        scratch_shapes += [
-            pltpu.VMEM((W_pad, 1), jnp.int32),   # cum_prev window
-            pltpu.VMEM((W_pad, 1), jnp.int32),   # cum window
-            pltpu.VMEM((8, W_pad), f32),         # attribute window
-            pltpu.SemaphoreType.DMA((3,)),
-        ]
-    if S_hist:
         scratch_shapes += [
             pltpu.VMEM((n_hist_rows, 8, sub), f32),
             pltpu.SMEM((1,), jnp.int32),
@@ -1719,35 +1727,47 @@ def build_fused_run(pipeline, num_iter: int | None = None,
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
     if rng == "input":
         in_specs.append(
-            pl.BlockSpec((None, n_draws, 8, sub), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((None, n_draws, 8, sub), lambda i, *_: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM)
         )
     if is_plasma:
         B_pad = src["B_pad"]
         cpi = chunks_per_iter
         if plasma_windowed:
-            # Per-chunk window start (SMEM scalar) + full per-iteration
-            # tables in HBM, sliced by in-kernel DMA.
-            in_specs.append(
-                pl.BlockSpec((1,), lambda i: (i,),
-                             memory_space=pltpu.SMEM)
-            )
-            in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
-            in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
-            in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+            # Two consecutive PAGES of each per-iteration table, selected
+            # by the scalar-prefetched per-chunk page index (the same
+            # array is passed twice with different block mappings). Cum
+            # arrays are packed LANE-major as (rows, 128) — the naive
+            # (P, 1) column layout lane-pads every block to 128x its
+            # logical size (2 MB/page) and blows the scoped-VMEM budget;
+            # the kernel transposes each 16 KB page block once per chunk.
+            P = src["page"]
+            for _arr in range(2):  # cum_prev, cum
+                for pg_off in (0, 1):
+                    in_specs.append(pl.BlockSpec(
+                        (None, P // 128, 128),
+                        lambda i, pg, o=pg_off: (i // cpi, pg[i] + o, 0),
+                        memory_space=pltpu.VMEM,
+                    ))
+            for pg_off in (0, 1):
+                in_specs.append(pl.BlockSpec(
+                    (None, 8, P),
+                    lambda i, pg, o=pg_off: (i // cpi, 0, pg[i] + o),
+                    memory_space=pltpu.VMEM,
+                ))
         else:
             # Per-iteration bundle tables, selected by the grid index map
             # — zero per-chunk cost beyond the (tiny) block DMA.
             in_specs.append(
-                pl.BlockSpec((None, B_pad, 1), lambda i: (i // cpi, 0, 0),
+                pl.BlockSpec((None, B_pad, 1), lambda i, *_: (i // cpi, 0, 0),
                              memory_space=pltpu.VMEM)
             )
             in_specs.append(
-                pl.BlockSpec((None, B_pad, 1), lambda i: (i // cpi, 0, 0),
+                pl.BlockSpec((None, B_pad, 1), lambda i, *_: (i // cpi, 0, 0),
                              memory_space=pltpu.VMEM)
             )
             in_specs.append(
-                pl.BlockSpec((None, 8, B_pad), lambda i: (i // cpi, 0, 0),
+                pl.BlockSpec((None, 8, B_pad), lambda i, *_: (i // cpi, 0, 0),
                              memory_space=pltpu.VMEM)
             )
         bundle_tables = pipeline.source.make_bundle_tables(
@@ -1757,26 +1777,47 @@ def build_fused_run(pipeline, num_iter: int | None = None,
         filter_params = pipeline.params["filters"]
     for tab in tables:
         in_specs.append(
-            pl.BlockSpec(tab.shape, lambda i: (0, 0),
+            pl.BlockSpec(tab.shape, lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM)
         )
 
-    call = pl.pallas_call(
-        kernel,
-        grid=(n_chunks,),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shapes,
-        scratch_shapes=scratch_shapes,
-        # Off-chip: 'input' mode uses no TPU PRNG primitives, so the plain
-        # interpreter suffices — and unlike InterpretParams it composes
-        # with shard_map on a virtual CPU mesh (InterpretParams deadlocks
-        # there). 'hw' off-chip needs InterpretParams' PRNG emulation.
-        interpret=(
-            (True if rng == "input" else pltpu.InterpretParams())
-            if interpret else False
-        ),
+    # Off-chip: 'input' mode uses no TPU PRNG primitives, so the plain
+    # interpreter suffices — and unlike InterpretParams it composes
+    # with shard_map on a virtual CPU mesh (InterpretParams deadlocks
+    # there). 'hw' off-chip needs InterpretParams' PRNG emulation.
+    interp = (
+        (True if rng == "input" else pltpu.InterpretParams())
+        if interpret else False
     )
+    if plasma_windowed:
+        call = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(n_chunks,),
+                in_specs=in_specs,
+                out_specs=out_specs,
+                scratch_shapes=scratch_shapes,
+            ),
+            out_shape=out_shapes,
+            # The default 16 MiB scoped budget undercounts reuse of the
+            # unrolled gather's one-hot tiles; measured need at chunk
+            # 2048 is ~22 MiB (v5e VMEM is 128 MiB).
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024
+            ),
+            interpret=interp,
+        )
+    else:
+        call = pl.pallas_call(
+            kernel,
+            grid=(n_chunks,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shapes,
+            scratch_shapes=scratch_shapes,
+            interpret=interp,
+        )
 
     element_names = pipeline.element_names
     image_names = [optics[i]["name"] for i, _ in images]
@@ -1810,9 +1851,9 @@ def build_fused_run(pipeline, num_iter: int | None = None,
                 if plasma_windowed:
                     # Stable-partition zero-count bundles to the back so
                     # any `chunk` consecutive rays span <= chunk+1 table
-                    # rows — the windowed gather's coverage guarantee.
-                    # Empty intervals [c, c) never match, so attribute
-                    # values of moved bundles are irrelevant.
+                    # rows — the page-pair coverage guarantee. Empty
+                    # intervals [c, c) never match, so attribute values
+                    # of moved bundles are irrelevant.
                     counts = cum - jnp.concatenate(
                         [jnp.zeros((1,), cum.dtype), cum[:-1]]
                     )
@@ -1820,36 +1861,51 @@ def build_fused_run(pipeline, num_iter: int | None = None,
                     counts = counts[order]
                     btab = btab[order]
                     cum = jnp.cumsum(counts)
-                    W_pad_ = _round_up(W_max, 128)
+                    P_ = src["page"]
+                    n_pages = B_pad_ // P_
                     r0s = jnp.arange(cpi, dtype=jnp.int32) * chunk
                     idx = jnp.searchsorted(
                         cum, r0s, side="right"
                     ).astype(jnp.int32)
-                    b_los.append(jnp.clip(
-                        (idx // 128) * 128, 0, B_pad_ - W_pad_
-                    ))
+                    b_los.append(jnp.clip(idx // P_, 0, n_pages - 2))
                 cum_prev = jnp.concatenate(
                     [jnp.zeros((1,), cum.dtype), cum[:-1]]
                 )
-                cps.append(jnp.zeros((B_pad_, 1), jnp.int32)
-                           .at[:B, 0].set(cum_prev))
-                cs.append(jnp.zeros((B_pad_, 1), jnp.int32)
-                          .at[:B, 0].set(cum))
+                if plasma_windowed:
+                    # Lane-major packing b = row*128 + lane (see in_specs).
+                    cps.append(jnp.zeros((B_pad_,), jnp.int32)
+                               .at[:B].set(cum_prev)
+                               .reshape(B_pad_ // 128, 128))
+                    cs.append(jnp.zeros((B_pad_,), jnp.int32)
+                              .at[:B].set(cum)
+                              .reshape(B_pad_ // 128, 128))
+                else:
+                    cps.append(jnp.zeros((B_pad_, 1), jnp.int32)
+                               .at[:B, 0].set(cum_prev))
+                    cs.append(jnp.zeros((B_pad_, 1), jnp.int32)
+                              .at[:B, 0].set(cum))
                 ts.append(jnp.zeros((8, B_pad_), jnp.float32)
                           .at[:, :B].set(btab.T))
-            plasma_args = [jnp.stack(cps), jnp.stack(cs), jnp.stack(ts)]
+            cp_all = jnp.stack(cps)
+            c_all = jnp.stack(cs)
+            t_all = jnp.stack(ts)
             if plasma_windowed:
-                plasma_args = [
-                    jnp.stack(b_los).reshape(-1)
-                ] + plasma_args
+                # Pass each table twice (page-0 and page-1 block specs);
+                # the page array rides the scalar-prefetch slot.
+                prefetch_args = [jnp.stack(b_los).reshape(-1)]
+                plasma_args = [cp_all, cp_all, c_all, c_all, t_all, t_all]
+            else:
+                plasma_args = [cp_all, c_all, t_all]
         table_args = [jnp.asarray(t) for t in tables]
+        prefetch = prefetch_args if plasma_windowed else []
         if rng == "input":
             uniforms = jax.random.uniform(
                 key, (n_chunks, n_draws, 8, sub), dtype=f32
             )
-            outs = call(seed, uniforms, *plasma_args, *table_args)
+            outs = call(*prefetch, seed, uniforms, *plasma_args,
+                        *table_args)
         else:
-            outs = call(seed, *plasma_args, *table_args)
+            outs = call(*prefetch, seed, *plasma_args, *table_args)
         if S_hist:
             counts, *imgs, hist = outs
         else:
