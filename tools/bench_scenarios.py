@@ -126,6 +126,10 @@ SCENARIOS = {
     "diff_fwd_bwd": lambda n, it: _config(
         _crystal(class_name="XicsrtOpticSphericalCrystal", radius=1.0),
         n, it),
+    # Same physics, fused forward+backward kernels (ops/fused_grad.py).
+    "fused_diff": lambda n, it: _config(
+        _crystal(class_name="XicsrtOpticSphericalCrystal", radius=1.0),
+        n, it),
 }
 
 # TPU v5e bf16 MXU peak; the same plausibility anchor as bench.py.
@@ -226,6 +230,39 @@ def run_scenario(name, log2=None, num_iter=None):
 
     intensity = 1 << log2
     config = SCENARIOS[name](intensity, num_iter)
+
+    if name == "fused_diff":
+        from xicsrt_tpu.gradients import make_fused_differentiable
+
+        chunk_env = os.environ.get("XICSRT_BENCH_CHUNK")
+        forward, vjp_fn, pack, pipeline = make_fused_differentiable(
+            config, num_iter=num_iter,
+            chunk=int(chunk_env) if chunk_env else 8192,
+        )
+        pvec = pipeline and pack(pipeline.params)
+        img_keys = {}
+        for o in pipeline.optics:
+            if o.enable_image:
+                nx, ny = (int(v) for v in o.image_shape)
+                img_keys[o.name] = jax.random.uniform(
+                    jax.random.key(hash(o.name) % 1000), (nx, ny)
+                ).astype(jnp.float32)
+
+        @jax.jit
+        def step(pvec, key, dep):
+            # Real optimization-step shape: forward, loss cotangent from
+            # the images (data dependency serializes fwd -> vjp), vjp.
+            k = jax.random.fold_in(key, dep)
+            out = forward(pvec, k)
+            g = {n: out["image"][n] - img_keys[n] for n in out["image"]}
+            gv = vjp_fn(pvec, k, g)
+            return (jnp.abs(gv[16 + 13]) * 1e3).astype(jnp.uint32)
+
+        n_rays = intensity * num_iter
+        rps = time_chained(step, pvec, n_rays)
+        return {"scenario": name, "engine": "fused",
+                "rays_per_s": float(f"{rps:.4g}"),
+                "rays_per_dispatch": n_rays}
 
     if name == "diff_fwd_bwd":
         from xicsrt_tpu.gradients import make_differentiable

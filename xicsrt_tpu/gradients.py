@@ -115,6 +115,44 @@ def l2_image_loss(image, target):
     return jnp.mean((image - target) ** 2)
 
 
+def make_fused_differentiable(config: dict, num_iter: int | None = None,
+                              chunk: int = 8192, interpret: bool | None = None):
+    """Fused-kernel differentiable path (``ops/fused_grad.py``).
+
+    Returns ``(forward, vjp, pack, pipeline)``:
+
+    - ``pvec = pack(pipeline.params)`` — differentiated parameters as a
+      flat runtime vector (SMEM input: update without recompiling);
+    - ``forward(pvec, key) -> {"image": {...}}`` — weight-mode bilinear
+      images from one Pallas megakernel;
+    - ``vjp(pvec, key, g_images) -> gvec`` — EXACT gradient of
+      ``sum(g * image)`` w.r.t. ``pvec``, from a twin kernel that
+      re-generates the same rays and runs a hand-derived adjoint sweep
+      on-chip (validated against jax.grad at f64 rtol 1e-9,
+      ``tests/test_fused_grad.py``).
+
+    Raises ``FusedGradUnsupported`` outside the subset (plane/sphere
+    optics, gaussian rocking, directed/monochrome counted sources); the
+    XLA path (``make_differentiable``) covers everything else.
+    """
+    import copy
+
+    from xicsrt_tpu.ops.fused_grad import build_fused_diff
+
+    config = copy.deepcopy(config)
+    general = config.setdefault("general", {})
+    general["interact_mode"] = "weight"
+    general["image_mode"] = "bilinear"
+    general["keep_history"] = False
+    pipeline = Pipeline(config)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    forward, vjp, pack, _spec = build_fused_diff(
+        pipeline, num_iter=num_iter, chunk=chunk, interpret=interpret
+    )
+    return forward, vjp, pack, pipeline
+
+
 def align(
     config: dict,
     target_images: dict,
