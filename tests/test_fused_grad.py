@@ -324,6 +324,44 @@ def test_fused_alignment_recovers_spacing():
     assert errs[-1] < 0.2 * errs[0], errs
 
 
+def test_sharded_fused_gradients():
+    """The fused vjp composes with the mesh: per-device kernels, psum'd
+    images and gradient vectors (8 virtual devices). Totals and the
+    spacing-slot gradient agree with single-device within MC tolerance."""
+    from xicsrt_tpu.gradients import make_fused_differentiable
+
+    intensity = 1 << 14
+    gs = {"crystal": np.zeros((20, 20), np.float32),
+          "detector": np.ones((40, 20), np.float32)}
+    slot = FG.SLOTS_PER_OPTIC * 1 + 13
+
+    f1, v1, pack1, p1 = make_fused_differentiable(
+        _config(intensity), chunk=1024
+    )
+    f8, v8, pack8, p8 = make_fused_differentiable(
+        _config(intensity), chunk=1024, n_devices=8
+    )
+    pv1 = pack1(p1.params)
+    pv8 = pack8(p8.params)
+
+    t1 = float(jnp.sum(f1(pv1, jax.random.key(0))["image"]["detector"]))
+    t8 = float(jnp.sum(f8(pv8, jax.random.key(0))["image"]["detector"]))
+    assert t8 > 0
+    sigma = np.sqrt(max(t1, 1.0))
+    assert abs(t8 - t1) < 8 * sigma, (t8, t1)
+
+    g1 = np.asarray([float(v1(pv1, jax.random.key(k), gs)[slot])
+                     for k in range(4)])
+    g8 = np.asarray([float(v8(pv8, jax.random.key(k), gs)[slot])
+                     for k in range(4)])
+    m1, s1 = g1.mean(), g1.std(ddof=1) / 2.0
+    m8, s8 = g8.mean(), g8.std(ddof=1) / 2.0
+    assert abs(m1) > 5 * s1, (m1, s1)
+    assert abs(m8 - m1) < 6 * np.sqrt(s1**2 + s8**2) + 0.02 * abs(m1), (
+        f"sharded {m8:.5g}+-{s8:.2g} vs single {m1:.5g}+-{s1:.2g}"
+    )
+
+
 def test_unsupported_configs_raise():
     config = _config(1024)
     config["sources"]["source"]["use_poisson"] = True

@@ -116,7 +116,9 @@ def l2_image_loss(image, target):
 
 
 def make_fused_differentiable(config: dict, num_iter: int | None = None,
-                              chunk: int = 8192, interpret: bool | None = None):
+                              chunk: int = 8192,
+                              interpret: bool | None = None,
+                              mesh=None, n_devices: int | None = None):
     """Fused-kernel differentiable path (``ops/fused_grad.py``).
 
     Returns ``(forward, vjp, pack, pipeline)``:
@@ -134,6 +136,12 @@ def make_fused_differentiable(config: dict, num_iter: int | None = None,
     Raises ``FusedGradUnsupported`` outside the subset (plane/sphere
     optics, gaussian rocking, directed/monochrome counted sources); the
     XLA path (``make_differentiable``) covers everything else.
+
+    Multi-chip: pass ``mesh``/``n_devices`` to shard the photon load —
+    each device seeds its own ray stream from its mesh position, the
+    forward's images are psum-reduced, and the vjp kernel's gradient
+    vectors psum too: the in-kernel adjoint composes with the mesh the
+    same way the XLA gradient path does.
     """
     import copy
 
@@ -144,13 +152,53 @@ def make_fused_differentiable(config: dict, num_iter: int | None = None,
     general["interact_mode"] = "weight"
     general["image_mode"] = "bilinear"
     general["keep_history"] = False
+
+    if mesh is None and n_devices is not None and n_devices > 1:
+        from xicsrt_tpu.parallel.mesh import ray_mesh
+
+        mesh = ray_mesh(n_devices)
+    if mesh is not None:
+        from xicsrt_tpu.parallel.mesh import _shard_intensity
+
+        config = _shard_intensity(config, int(mesh.devices.size))
+
     pipeline = Pipeline(config)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     forward, vjp, pack, _spec = build_fused_diff(
         pipeline, num_iter=num_iter, chunk=chunk, interpret=interpret
     )
-    return forward, vjp, pack, pipeline
+    if mesh is None:
+        return forward, vjp, pack, pipeline
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    image_names = _spec["image_names"]
+
+    def device_forward(pvec, key):
+        idx = jax.lax.axis_index(axis)
+        out = forward(pvec, jax.random.fold_in(key, idx))
+        return {"image": {
+            k: jax.lax.psum(out["image"][k], axis) for k in image_names
+        }}
+
+    def device_vjp(pvec, key, g_images):
+        idx = jax.lax.axis_index(axis)
+        gv = vjp(pvec, jax.random.fold_in(key, idx), g_images)
+        return jax.lax.psum(gv, axis)
+
+    sh_forward = shard_map(
+        device_forward, mesh=mesh, in_specs=(P(), P()),
+        out_specs={"image": {k: P() for k in image_names}},
+        check_vma=False,
+    )
+    sh_vjp = shard_map(
+        device_vjp, mesh=mesh, in_specs=(P(), P(), P()),
+        out_specs=P(), check_vma=False,
+    )
+    return jax.jit(sh_forward), jax.jit(sh_vjp), pack, pipeline
 
 
 def align(
