@@ -293,6 +293,7 @@ class TestPlugins:
         "example_01_spherical_crystal.py",
         "example_02_aperture.py",
         "example_05_multichip.py",
+        "example_07_fused_gradients.py",
     ],
 )
 def test_example_runs(example):
