@@ -324,6 +324,99 @@ def test_fused_alignment_recovers_spacing():
     assert errs[-1] < 0.2 * errs[0], errs
 
 
+def _variant_config(kind):
+    base = {
+        "general": {"number_of_iter": 1, "random_seed": 0,
+                    "print_results": False, "keep_history": False,
+                    "interact_mode": "weight", "image_mode": "bilinear"},
+        "sources": {"source": {
+            "class_name": "XicsrtSourceDirected",
+            "intensity": 1536, "wavelength": 3.9492,
+        }},
+        "optics": {},
+    }
+    det = {
+        "class_name": "XicsrtOpticDetector",
+        "origin": [0.0, 0.76871290, 0.56904832],
+        "zaxis": [0.0, -0.95641806, 0.29200084],
+        "xsize": 0.4, "ysize": 0.2, "pixel_size": 0.01,
+    }
+    src = base["sources"]["source"]
+    if kind == "plane_crystal_flat":
+        src.update(angular_dist="flat", spread=np.radians(8.0))
+        base["optics"]["crystal"] = {
+            "class_name": "XicsrtOpticPlanarCrystal",
+            "origin": [0.0, -3e-4, 0.80374151],
+            "zaxis": [0.0, 0.59497864, -0.80374151],
+            "xsize": 0.3, "ysize": 0.3,
+            "crystal_spacing": 2.45676,
+            "rocking_type": "gaussian", "rocking_fwhm": 1e-3,
+        }
+        base["optics"]["detector"] = det
+    elif kind == "sphere_mirror_isotropic":
+        src.update(angular_dist="isotropic", spread=np.radians(6.0),
+                   xsize=0.01, ysize=0.01, zsize=0.005)
+        base["optics"]["mirror"] = {
+            "class_name": "XicsrtOpticSphericalMirror",
+            "origin": [0.0, 0.0, 0.80374151],
+            "zaxis": [0.0, 0.59497864, -0.80374151],
+            "xsize": 0.3, "ysize": 0.3, "radius": 1.5,
+        }
+        base["optics"]["detector"] = dict(det, origin=[0.0, 0.9, 0.45],
+                                          xsize=1.0, ysize=1.0,
+                                          pixel_size=0.025)
+    elif kind == "convex_sphere_flat_xy":
+        src.update(angular_dist="flat_xy",
+                   spread=[np.radians(5.0), np.radians(7.0)])
+        base["optics"]["crystal"] = {
+            "class_name": "XicsrtOpticSphericalCrystal",
+            "origin": [0.0, -3e-4, 0.80374151],
+            "zaxis": [0.0, 0.59497864, -0.80374151],
+            "xsize": 0.2, "ysize": 0.2, "radius": 2.0, "convex": True,
+            "crystal_spacing": 2.45676,
+            "rocking_type": "gaussian", "rocking_fwhm": 2e-3,
+        }
+        base["optics"]["detector"] = dict(det, xsize=1.0, ysize=1.0,
+                                          pixel_size=0.025)
+    return base
+
+
+@pytest.mark.parametrize("kind", [
+    "plane_crystal_flat",
+    "sphere_mirror_isotropic",
+    "convex_sphere_flat_xy",
+])
+def test_hand_adjoint_exact_on_variants(kind):
+    """f64 exactness of the hand adjoint across the subset's shapes,
+    interactions and angular distributions (plane crystal, sphere
+    mirror, CONVEX sphere; flat / isotropic / flat_xy; extended
+    source)."""
+    pipeline = Pipeline(_variant_config(kind))
+    forward, vjp, pack, spec = FG.build_fused_diff(
+        pipeline, chunk=1024, interpret=True, rng="input"
+    )
+    pvec = jnp.asarray(pack(pipeline.params), jnp.float64)
+    uniforms = jax.random.uniform(
+        jax.random.key(3), (spec["n_chunks"], spec["src"]["n_draws"], 8,
+                            spec["chunk"] // 8), dtype=jnp.float32,
+    )
+    rng_g = np.random.default_rng(1)
+    gs = {}
+    for o in pipeline.optics:
+        if o.enable_image:
+            nx, ny = (int(v) for v in o.image_shape)
+            gs[o.name] = rng_g.normal(size=(nx, ny)).astype(np.float32)
+
+    g_auto = np.asarray(jax.grad(
+        lambda v: _replica_loss(spec, v, uniforms, gs, dtype=jnp.float64)
+    )(pvec))
+    g_hand = _manual_gvec(spec, pvec, uniforms, gs, jnp.float64)
+    scale = np.abs(g_auto).max()
+    assert scale > 0, "variant produced no gradient signal"
+    np.testing.assert_allclose(g_hand, g_auto, rtol=1e-8,
+                               atol=1e-10 * scale)
+
+
 def test_sharded_fused_gradients():
     """The fused vjp composes with the mesh: per-device kernels, psum'd
     images and gradient vectors (8 virtual devices). Totals and the
