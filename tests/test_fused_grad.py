@@ -365,6 +365,31 @@ def _variant_config(kind):
         base["optics"]["detector"] = dict(det, origin=[0.0, 0.9, 0.45],
                                           xsize=1.0, ysize=1.0,
                                           pixel_size=0.025)
+    elif kind == "cylinder_crystal":
+        src.update(angular_dist="isotropic_xy",
+                   spread=np.radians(10.0))
+        base["optics"]["crystal"] = {
+            "class_name": "XicsrtOpticCylindricalCrystal",
+            "origin": [0.0, -3e-4, 0.80374151],
+            "zaxis": [0.0, 0.59497864, -0.80374151],
+            "xsize": 0.2, "ysize": 0.2, "radius": 1.0,
+            "crystal_spacing": 2.45676,
+            "rocking_type": "gaussian", "rocking_fwhm": 1e-3,
+        }
+        base["optics"]["detector"] = dict(det, xsize=1.0, ysize=0.5,
+                                          pixel_size=0.025)
+    elif kind == "convex_cylinder_mirror":
+        src.update(angular_dist="isotropic", spread=np.radians(5.0))
+        base["optics"]["mirror"] = {
+            "class_name": "XicsrtOpticCylindricalMirror",
+            "origin": [0.0, 0.0, 0.5],
+            "zaxis": [0.0, 0.0, -1.0],
+            "xsize": 0.3, "ysize": 0.3, "radius": 2.0, "convex": True,
+        }
+        base["optics"]["detector"] = dict(det, origin=[0.0, 0.0, -0.5],
+                                          zaxis=[0.0, 0.0, 1.0],
+                                          xsize=2.0, ysize=2.0,
+                                          pixel_size=0.05)
     elif kind == "convex_sphere_flat_xy":
         src.update(angular_dist="flat_xy",
                    spread=[np.radians(5.0), np.radians(7.0)])
@@ -385,6 +410,8 @@ def _variant_config(kind):
     "plane_crystal_flat",
     "sphere_mirror_isotropic",
     "convex_sphere_flat_xy",
+    "cylinder_crystal",
+    "convex_cylinder_mirror",
 ])
 def test_hand_adjoint_exact_on_variants(kind):
     """f64 exactness of the hand adjoint across the subset's shapes,

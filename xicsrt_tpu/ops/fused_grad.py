@@ -22,7 +22,7 @@ Supported subset (``FusedGradUnsupported`` otherwise):
   wavelength, counted (non-Poisson) budget — gradients w.r.t. source
   parameters are zero by reparameterization (sampling is independent of
   optic parameters), matching the XLA path's semantics;
-- optics: chains of plane/sphere shapes with none/mirror/crystal
+- optics: chains of plane/sphere/cylinder shapes with none/mirror/crystal
   (gaussian rocking) interactions, size bounds and aperture masks
   (hard edges carry zero gradient — the standard differentiable-MC
   approximation, same as the XLA path), bilinear images on any optics;
@@ -122,6 +122,10 @@ def _grad_optic_spec(optic):
         shape, interact = "sphere", "mirror"
     elif isinstance(optic, C.OpticSphericalCrystal):
         shape, interact = "sphere", "crystal"
+    elif isinstance(optic, C.OpticCylindricalMirror):
+        shape, interact = "cylinder", "mirror"
+    elif isinstance(optic, C.OpticCylindricalCrystal):
+        shape, interact = "cylinder", "crystal"
     else:
         raise FusedGradUnsupported(cname)
 
@@ -129,7 +133,8 @@ def _grad_optic_spec(optic):
         "name": optic.name,
         "shape": shape,
         "interact": interact,
-        "convex": bool(p.get("convex")) if shape == "sphere" else False,
+        "convex": (bool(p.get("convex"))
+                   if shape in ("sphere", "cylinder") else False),
         "check_size": bool(p.get("check_size", True)),
         "xsize": _f(p.get("xsize") or 0.0),
         "ysize": _f(p.get("ysize") or 0.0),
@@ -306,7 +311,7 @@ def _trace_fwd(optics, src, P, px, py, pz, dx, dy, dz, alive,
             nyv = jnp.full_like(px, 0.0) + bzy
             nzv = jnp.full_like(px, 0.0) + bzz
             s.update(D=Dsafe)
-        else:  # sphere
+        elif o["shape"] == "sphere":
             r = P[i * SLOTS_PER_OPTIC + 12]
             sign = -1.0 if o["convex"] else 1.0
             Cx = oxp + sign * r * bzx
@@ -320,6 +325,39 @@ def _trace_fwd(optics, src, P, px, py, pz, dx, dy, dz, alive,
             t_hc = jnp.sqrt(jnp.maximum(r2 - d2, _EPS))
             t = t_ca + (-t_hc if o["convex"] else t_hc)
             s.update(Lx=Lx, Ly=Ly, Lz=Lz, t_ca=t_ca, t_hc=t_hc,
+                     Cx=Cx, Cy=Cy, Cz=Cz, r=r)
+        else:  # cylinder (axis along the local xaxis; shapes.py)
+            r = P[i * SLOTS_PER_OPTIC + 12]
+            sign = -1.0 if o["convex"] else 1.0
+            Cx = oxp + sign * r * bzx
+            Cy = oyp + sign * r * bzy
+            Cz = ozp + sign * r * bzz
+            dpx_, dpy_, dpz_ = px - Cx, py - Cy, pz - Cz
+            d_ax = _dot3(dx, dy, dz, bxx, bxy, bxz)
+            p_ax = _dot3(dpx_, dpy_, dpz_, bxx, bxy, bxz)
+            A1x = dx - d_ax * bxx
+            A1y = dy - d_ax * bxy
+            A1z = dz - d_ax * bxz
+            B1x = dpx_ - p_ax * bxx
+            B1y = dpy_ - p_ax * bxy
+            B1z = dpz_ - p_ax * bxz
+            qa = A1x * A1x + A1y * A1y + A1z * A1z
+            qb = 2.0 * (A1x * B1x + A1y * B1y + A1z * B1z)
+            qc = B1x * B1x + B1y * B1y + B1z * B1z - r * r
+            disc = qb * qb - 4.0 * qa * qc
+            mask = alive & (disc >= 0.0)
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            sgq = jnp.where(qb >= 0.0, 1.0, -1.0)
+            qq = -0.5 * (qb + sgq * sq)
+            t0_ = qq / jnp.where(jnp.abs(qa) > 1e-30, qa, 1e-30)
+            t1_ = qc / jnp.where(jnp.abs(qq) > 1e-30, qq, 1e-30)
+            t1_ = jnp.where(jnp.abs(qq) > 1e-30, t1_, t0_)
+            t = (jnp.minimum(t0_, t1_) if o["convex"]
+                 else jnp.maximum(t0_, t1_))
+            s.update(A1x=A1x, A1y=A1y, A1z=A1z,
+                     B1x=B1x, B1y=B1y, B1z=B1z,
+                     qa=qa, qb=qb, d_ax=d_ax, p_ax=p_ax,
+                     dpx=dpx_, dpy=dpy_, dpz=dpz_,
                      Cx=Cx, Cy=Cy, Cz=Cz, r=r)
         qx = px + t * dx
         qy = py + t * dy
@@ -335,6 +373,21 @@ def _trace_fwd(optics, src, P, px, py, pz, dx, dy, dz, alive,
             nyv = (s["Cy"] - qy) * inv_r * sgn
             nzv = (s["Cz"] - qz) * inv_r * sgn
             s.update(inv_r=inv_r, sgn=sgn)
+        elif o["shape"] == "cylinder":
+            # Normal toward the axis (megakernel convention: explicit
+            # normalize of the axis-perpendicular component).
+            tcx, tcy, tcz = s["Cx"] - qx, s["Cy"] - qy, s["Cz"] - qz
+            along = _dot3(tcx, tcy, tcz, bxx, bxy, bxz)
+            ux = tcx - along * bxx
+            uy = tcy - along * bxy
+            uz = tcz - along * bxz
+            inv_u = jax.lax.rsqrt(jnp.maximum(
+                ux * ux + uy * uy + uz * uz, 1e-30))
+            nxv = ux * inv_u
+            nyv = uy * inv_u
+            nzv = uz * inv_u
+            s.update(tcx=tcx, tcy=tcy, tcz=tcz, along=along,
+                     ux=ux, uy=uy, uz=uz, inv_u=inv_u)
 
         rxq, ryq, rzq = qx - oxp, qy - oyp, qz - ozp
         lxv = rxq * bxx + ryq * bxy + rzq * bxz
@@ -558,6 +611,7 @@ def _trace_bwd(optics, src, P, saved, seeds):
         add_slot(base + 8, lyb * rzq)
 
         # ---- normal reverse ---------------------------------------------
+        axbx = axby = axbz = zeros  # adjoint of the bx row (cylinder axis)
         if o["shape"] == "sphere":
             # n = sgn * (C - q) / r
             inv_r = s["inv_r"]
@@ -570,6 +624,25 @@ def _trace_bwd(optics, src, P, saved, seeds):
             qbz = qbz - Cbz
             ndot = (s["nxv"] * nbx + s["nyv"] * nby + s["nzv"] * nbz)
             r_b_n = -ndot * inv_r * s["r"] * inv_r  # = -(n.nb)/r
+        elif o["shape"] == "cylinder":
+            # n = normalize(u), u = tc - (tc.ax) ax, tc = C - q.
+            inv_u = s["inv_u"]
+            ndot = (s["nxv"] * nbx + s["nyv"] * nby + s["nzv"] * nbz)
+            ubx = inv_u * (nbx - s["nxv"] * ndot)
+            uby = inv_u * (nby - s["nyv"] * ndot)
+            ubz = inv_u * (nbz - s["nzv"] * ndot)
+            au = _dot3(ubx, uby, ubz, bxx, bxy, bxz)
+            tcbx = ubx - au * bxx
+            tcby = uby - au * bxy
+            tcbz = ubz - au * bxz
+            axbx = axbx - au * s["tcx"] - s["along"] * ubx
+            axby = axby - au * s["tcy"] - s["along"] * uby
+            axbz = axbz - au * s["tcz"] - s["along"] * ubz
+            Cbx, Cby, Cbz = tcbx, tcby, tcbz
+            qbx = qbx - tcbx
+            qby = qby - tcby
+            qbz = qbz - tcbz
+            r_b_n = zeros  # normalize(u) carries no explicit r dependence
         else:
             # n = bz row (constant per ray)
             add_slot(base + 9, nbx)
@@ -607,6 +680,61 @@ def _trace_bwd(optics, src, P, saved, seeds):
             add_slot(base + 9, t_b * (oxp - s["qx"]) * invD)
             add_slot(base + 10, t_b * (oyp - s["qy"]) * invD)
             add_slot(base + 11, t_b * (ozp - s["qz"]) * invD)
+        elif o["shape"] == "cylinder":
+            # Implicit differentiation of qa t^2 + qb t + qc = 0 at the
+            # SELECTED root: F'(t) = 2 qa t + qb (= +-sqrt(disc); grazing
+            # rays guarded), so abar = -t_b t^2 / F' etc. — no need to
+            # differentiate the stable-quadratic root-selection form.
+            Fp = 2.0 * s["qa"] * t + s["qb"]
+            sgF = jnp.where(Fp >= 0.0, 1.0, -1.0)
+            Fp = jnp.where(jnp.abs(Fp) > 1e-9, Fp, sgF * 1e-9)
+            ab = -t_b * t * t / Fp
+            bb = -t_b * t / Fp
+            cb = -t_b / Fp
+            A1bx = 2.0 * ab * s["A1x"] + 2.0 * bb * s["B1x"]
+            A1by = 2.0 * ab * s["A1y"] + 2.0 * bb * s["B1y"]
+            A1bz = 2.0 * ab * s["A1z"] + 2.0 * bb * s["B1z"]
+            B1bx = 2.0 * bb * s["A1x"] + 2.0 * cb * s["B1x"]
+            B1by = 2.0 * bb * s["A1y"] + 2.0 * cb * s["B1y"]
+            B1bz = 2.0 * bb * s["A1z"] + 2.0 * cb * s["B1z"]
+            r_b = r_b_n - 2.0 * cb * s["r"]
+            # A1 = d - (d.ax) ax
+            aA = _dot3(A1bx, A1by, A1bz, bxx, bxy, bxz)
+            dbx = dbx + A1bx - aA * bxx
+            dby = dby + A1by - aA * bxy
+            dbz = dbz + A1bz - aA * bxz
+            axbx = axbx - aA * d0x - s["d_ax"] * A1bx
+            axby = axby - aA * d0y - s["d_ax"] * A1by
+            axbz = axbz - aA * d0z - s["d_ax"] * A1bz
+            # B1 = dp - (dp.ax) ax, dp = p - C
+            aB = _dot3(B1bx, B1by, B1bz, bxx, bxy, bxz)
+            dpbx = B1bx - aB * bxx
+            dpby = B1by - aB * bxy
+            dpbz = B1bz - aB * bxz
+            axbx = axbx - aB * s["dpx"] - s["p_ax"] * B1bx
+            axby = axby - aB * s["dpy"] - s["p_ax"] * B1by
+            axbz = axbz - aB * s["dpz"] - s["p_ax"] * B1bz
+            pbx_new = pbx_new + dpbx
+            pby_new = pby_new + dpby
+            pbz_new = pbz_new + dpbz
+            Cbx = Cbx - dpbx
+            Cby = Cby - dpby
+            Cbz = Cbz - dpbz
+            # C = o + sign_c * r * bz
+            sign_c = -1.0 if o["convex"] else 1.0
+            add_slot(base + 0, Cbx)
+            add_slot(base + 1, Cby)
+            add_slot(base + 2, Cbz)
+            add_slot(base + 9, sign_c * s["r"] * Cbx)
+            add_slot(base + 10, sign_c * s["r"] * Cby)
+            add_slot(base + 11, sign_c * s["r"] * Cbz)
+            add_slot(
+                base + 12,
+                r_b + sign_c * (bzx * Cbx + bzy * Cby + bzz * Cbz),
+            )
+            add_slot(base + 3, axbx)
+            add_slot(base + 4, axby)
+            add_slot(base + 5, axbz)
         else:
             # sphere: t = t_ca -+ t_hc, L = C - p
             t_hc = jnp.maximum(s["t_hc"], 1e-6)
