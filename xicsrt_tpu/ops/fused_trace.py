@@ -596,17 +596,6 @@ def _trace_chain(optics, sub, keep_meta, keep_images, draw, count_into,
         u = jnp.clip(draw(), 1e-7, 1.0 - 1e-7)
         return math.sqrt(2.0) * jax.lax.erf_inv(2.0 * u - 1.0)
 
-    def normal_pair():
-        """Two standard normals from two uniforms (Box-Muller): ~2x
-        cheaper than two erf_inv draws when normals come in pairs (the
-        mosaic layer loop burns 2 per layer). Same draw count, so the
-        'input' RNG mode's static slot accounting is unchanged."""
-        u1 = jnp.clip(draw(), 1e-7, 1.0)
-        u2 = draw()
-        r = jnp.sqrt(-2.0 * jnp.log(u1))
-        th = (2.0 * math.pi) * u2
-        return r * jnp.cos(th), r * jnp.sin(th)
-
     def rock_prob(rk, delta):
         """Reflection probability from the rocking curve at deviation
         ``delta`` [rad] (gaussian / step / file — shared by the crystal
@@ -991,9 +980,8 @@ def _trace_chain(optics, sub, keep_meta, keep_images, draw, count_into,
             if mode == "mc":
                 refl = jnp.zeros_like(mask)
                 for _layer in range(mz["depth"]):
-                    gx, gy = normal_pair()
-                    gx = mz["sigma_n"] * gx
-                    gy = mz["sigma_n"] * gy
+                    gx = mz["sigma_n"] * normal_draw()
+                    gy = mz["sigma_n"] * normal_draw()
                     wn = jax.lax.rsqrt(1.0 + gx * gx + gy * gy)
                     nmx = gx * wn * o2x_ + gy * wn * o1x_ + wn * nxv
                     nmy = gx * wn * o2y_ + gy * wn * o1y_ + wn * nyv
@@ -1023,9 +1011,8 @@ def _trace_chain(optics, sub, keep_meta, keep_images, draw, count_into,
                 surv = jnp.ones_like(wt)
                 cum = jnp.zeros_like(wt)
                 for _layer in range(mz["depth"]):
-                    gx, gy = normal_pair()
-                    gx = mz["sigma_n"] * gx
-                    gy = mz["sigma_n"] * gy
+                    gx = mz["sigma_n"] * normal_draw()
+                    gy = mz["sigma_n"] * normal_draw()
                     wn = jax.lax.rsqrt(1.0 + gx * gx + gy * gy)
                     nmx = gx * wn * o2x_ + gy * wn * o1x_ + wn * nxv
                     nmy = gx * wn * o2y_ + gy * wn * o1y_ + wn * nyv
