@@ -105,11 +105,11 @@ def _replica_loss(spec, pvec, uniforms, gs, dtype=jnp.float32):
         rows = jax.lax.broadcasted_iota(jnp.int32, (8, sub), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (8, sub), 1)
         alive = (c * chunk + rows * sub + cols) < n_total
-        px, py, pz, dx, dy, dz = FG._sample_source(src, draw, sub,
-                                                   f32=dtype)
+        px, py, pz, dx, dy, dz, lam = FG._sample_source(src, draw, sub,
+                                                        f32=dtype)
         _, images_data, _ = FG._trace_fwd(
             optics, src, jnp.asarray(pvec, dtype),
-            px, py, pz, dx, dy, dz, alive, need_saved=False,
+            px, py, pz, dx, dy, dz, alive, lam=lam, need_saved=False,
         )
         for (oi, w_img, fx, fy) in images_data:
             im = optics[oi]["image"]
@@ -177,11 +177,11 @@ def _manual_gvec(spec, pvec, uniforms, gs, dtype):
         rows = jax.lax.broadcasted_iota(jnp.int32, (8, sub), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (8, sub), 1)
         alive = (c * chunk + rows * sub + cols) < n_total
-        px, py, pz, dx, dy, dz = FG._sample_source(src, draw, sub,
-                                                   f32=dtype)
+        px, py, pz, dx, dy, dz, lam = FG._sample_source(src, draw, sub,
+                                                        f32=dtype)
         saved, images_data, _ = FG._trace_fwd(
             optics, src, P, px, py, pz, dx, dy, dz, alive,
-            need_saved=True,
+            lam=lam, need_saved=True,
         )
         seeds = {}
         for (oi, w_img, fx, fy) in images_data:
@@ -365,6 +365,19 @@ def _variant_config(kind):
         base["optics"]["detector"] = dict(det, origin=[0.0, 0.9, 0.45],
                                           xsize=1.0, ysize=1.0,
                                           pixel_size=0.025)
+    elif kind == "uniform_wavelength":
+        src.update(angular_dist="isotropic_xy", spread=np.radians(10.0),
+                   wavelength_dist="uniform",
+                   wavelength_range=[3.9492 - 0.013, 3.9492 + 0.013])
+        base["optics"]["crystal"] = {
+            "class_name": "XicsrtOpticSphericalCrystal",
+            "origin": [0.0, -3e-4, 0.80374151],
+            "zaxis": [0.0, 0.59497864, -0.80374151],
+            "xsize": 0.2, "ysize": 0.2, "radius": 1.0,
+            "crystal_spacing": 2.45676,
+            "rocking_type": "gaussian", "rocking_fwhm": 1e-3,
+        }
+        base["optics"]["detector"] = dict(det, pixel_size=0.02)
     elif kind == "cylinder_crystal":
         src.update(angular_dist="isotropic_xy",
                    spread=np.radians(10.0))
@@ -412,6 +425,7 @@ def _variant_config(kind):
     "convex_sphere_flat_xy",
     "cylinder_crystal",
     "convex_cylinder_mirror",
+    "uniform_wavelength",
 ])
 def test_hand_adjoint_exact_on_variants(kind):
     """f64 exactness of the hand adjoint across the subset's shapes,

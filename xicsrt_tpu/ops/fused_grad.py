@@ -18,8 +18,8 @@ of the reference's alignment problem (``_InteractCrystal.py:96-196``,
 Supported subset (``FusedGradUnsupported`` otherwise):
 
 - source: Generic/Directed, point or uniform-box spatial, isotropic /
-  isotropic_xy (symmetric) / flat / flat_xy angular, monochrome
-  wavelength, counted (non-Poisson) budget — gradients w.r.t. source
+  isotropic_xy (symmetric) / flat / flat_xy angular, monochrome or
+  uniform-band wavelengths, counted (non-Poisson) budget — gradients w.r.t. source
   parameters are zero by reparameterization (sampling is independent of
   optic parameters), matching the XLA path's semantics;
 - optics: chains of plane/sphere/cylinder shapes with none/mirror/crystal
@@ -88,7 +88,7 @@ def _grad_source_spec(source):
     spec = _source_spec(source, {})
     if spec["poisson"]:
         raise FusedGradUnsupported("Poisson budget (use counted intensity)")
-    if spec["wave"][0] != "mono":
+    if spec["wave"][0] not in ("mono", "uniform"):
         raise FusedGradUnsupported(f"wavelength_dist {spec['wave'][0]!r}")
     if spec["velocity"] is not None:
         raise FusedGradUnsupported("bulk velocity")
@@ -274,7 +274,12 @@ def _sample_source(src, draw, sub, f32=jnp.float32):
     dx = lx * R[0][0] + ly * R[1][0] + lz * R[2][0]
     dy = lx * R[0][1] + ly * R[1][1] + lz * R[2][1]
     dz = lx * R[0][2] + ly * R[1][2] + lz * R[2][2]
-    return px, py, pz, dx, dy, dz
+    wave = src["wave"]
+    if wave[0] == "uniform":
+        lam = wave[1] + draw() * (wave[2] - wave[1])
+    else:
+        lam = src["wavelength"]  # scalar; broadcasts
+    return px, py, pz, dx, dy, dz, lam
 
 
 def _dot3(ax, ay, az, bx, by, bz):
@@ -282,7 +287,7 @@ def _dot3(ax, ay, az, bx, by, bz):
 
 
 def _trace_fwd(optics, src, P, px, py, pz, dx, dy, dz, alive,
-               need_saved=True):
+               lam=None, need_saved=True):
     """Weight-mode forward chain. Returns (saved, images_data, final).
 
     ``P``: flat params vector (jnp, length 16*n_optics, padded).
@@ -292,7 +297,8 @@ def _trace_fwd(optics, src, P, px, py, pz, dx, dy, dz, alive,
     """
     f32 = px.dtype
     w = jnp.ones_like(px)
-    lam = src["wavelength"]
+    if lam is None:
+        lam = src["wavelength"]
     saved = []
     images_data = []
     for i, o in enumerate(optics):
@@ -462,7 +468,7 @@ def _trace_fwd(optics, src, P, px, py, pz, dx, dy, dz, alive,
             dz = jnp.where(mask, dz - kk * nzv, dz)
             s.update(dot=dot, adot=adot, cosi=cosi, sd=sd, sigma=sigma,
                      z=z, prob=prob, w_pre=w_pre, sin_b=sin_b,
-                     cos_b=cos_b, d_s=d_s, refl=refl)
+                     cos_b=cos_b, d_s=d_s, refl=refl, lam=lam)
         elif o["interact"] == "mirror":
             dot = _dot3(dx, dy, dz, nxv, nyv, nzv)
             kk = 2.0 * dot
@@ -572,7 +578,7 @@ def _trace_bwd(optics, src, P, saved, seeds):
                                  + s["adot"] / s["cosi"] * s["sin_b"])
                 sinb_b = sd_b * (-s["adot"] * s["sin_b"] / s["cos_b"]
                                  - s["cosi"])
-                lam = src["wavelength"]
+                lam = s["lam"]
                 d_s = s["d_s"]
                 ds_b = sinb_b * (-lam / (2.0 * jnp.maximum(
                     d_s * d_s, _EPS)))
@@ -866,11 +872,11 @@ def build_fused_diff(pipeline, num_iter: int | None = None,
             ray_index = step * chunk + rows * sub + cols
             alive = ray_index < n_total
 
-            px, py, pz, dx, dy, dz = _sample_source(src, draw, sub)
+            px, py, pz, dx, dy, dz, lam = _sample_source(src, draw, sub)
 
             saved, images_data, _final = _trace_fwd(
                 optics, src, P, px, py, pz, dx, dy, dz, alive,
-                need_saved=backward,
+                lam=lam, need_saved=backward,
             )
 
             if not backward:
