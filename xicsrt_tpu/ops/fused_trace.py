@@ -791,7 +791,11 @@ def _trace_chain(optics, sub, keep_meta, keep_images, draw, count_into,
             zd_safe = jnp.where(jnp.abs(Dlz) > 1e-9, Dlz, 1e-9)
             t = -z0_ / zd_safe
             step = jnp.zeros_like(t)
-            for _newton in range(5):
+            # 4 local-quadratic iterations suffice from the tangent-plane
+            # seed (the r4 second-order step converges faster than the
+            # plain Newton that needed 5): gated by the wide-spread
+            # grazing regression test and the convex-flag parity matrix.
+            for _newton in range(4):
                 X_ = Olx + t * Dlx
                 Y_ = Oly + t * Dly
                 Z_ = Olz + t * Dlz
