@@ -281,6 +281,29 @@ class TestFoundHistoryReservoir:
         fig_or_ax = plot_intersect(result, "detector")
         assert fig_or_ax is not None
 
+    def test_sharded_reservoir(self):
+        """keep_history='found' composes with the sharded fused engine:
+        each device fills its own reservoir; history arrays shard on the
+        ray axis while meta/images stay psum-reduced."""
+        import numpy as np_
+
+        from xicsrt_tpu.parallel import make_sharded_run
+
+        config = _spectrometer(
+            1 << 13, engine="fused", keep_history="found",
+            history_found_slots=2,
+        )
+        fn, pipeline, mesh = make_sharded_run(config, n_devices=8)
+        out = fn(pipeline.params, jax.random.key(0))
+        n_gen = int(np_.asarray(out["meta"]["source"]))
+        assert n_gen == 1 << 13
+        hist = out["history"]["detector"]
+        # 8 devices x (2 slots x chunk) reservoir rows, axis-0 sharded.
+        assert hist.origin.shape[0] == 8 * 2 * 8192
+        found = np_.asarray(hist.mask)
+        n_det = int(np_.asarray(out["meta"]["detector"]))
+        assert 0 < found.sum() <= n_det
+
     def test_weight_mode_reservoir(self):
         result = self._run(interact_mode="weight")
         found = result["found"]["history"]

@@ -162,11 +162,15 @@ def make_sharded_run(config: dict, num_iter: int | None = None,
     if num_iter is None:
         num_iter = int(g["number_of_iter"])
     if keep_history is None:
-        keep_history = bool(g["keep_history"])
+        keep_history = g["keep_history"]  # may be the string 'found'
     if engine is None:
         engine = str(g.get("engine", "xla")).lower()
 
-    if engine in ("fused", "auto") and not keep_history:
+    # 'found': the fused engine's bounded in-kernel reservoir; each
+    # device fills its own slots and the history arrays shard on axis 0.
+    fused_history = (isinstance(keep_history, str)
+                     and keep_history.lower() == "found")
+    if engine in ("fused", "auto") and (not keep_history or fused_history):
         from xicsrt_tpu.ops.fused_trace import (
             FusedUnsupported, build_fast_run,
         )
@@ -175,6 +179,8 @@ def make_sharded_run(config: dict, num_iter: int | None = None,
             fused, _kind = build_fast_run(
                 pipeline, num_iter=num_iter,
                 interpret=jax.default_backend() != "tpu",
+                history_slots=(int(g.get("history_found_slots") or 8)
+                               if fused_history else None),
             )
         except FusedUnsupported as err:
             if engine == "fused":
@@ -193,18 +199,22 @@ def make_sharded_run(config: dict, num_iter: int | None = None,
                 image = ({k: jax.lax.psum(v, "rays")
                           for k, v in out["image"].items()}
                          if use_images else {})
-                return {"meta": meta, "image": image, "history": {}}
+                return {"meta": meta, "image": image,
+                        "history": out["history"]}
 
             meta_spec = ({k: P() for k in pipeline.element_names}
                          if g.get("keep_meta", True) else {})
             image_spec = ({k: P() for k in pipeline.image_specs()}
                           if use_images else {})
+            hist_spec = ({k: pipeline_history_struct()
+                          for k in pipeline.element_names}
+                         if fused_history else {})
             fn = shard_map(
                 device_run_fused,
                 mesh=mesh,
                 in_specs=(P(),),
                 out_specs={"meta": meta_spec, "image": image_spec,
-                           "history": {}},
+                           "history": hist_spec},
                 check_vma=False,
             )
             jitted = jax.jit(fn)
@@ -225,8 +235,9 @@ def make_sharded_run(config: dict, num_iter: int | None = None,
             return runner, pipeline, mesh
     elif engine == "fused":
         raise NotImplementedError(
-            "engine='fused' does not keep ray history; set "
-            "keep_history=False (or engine='auto' to fall back)."
+            "engine='fused' does not keep FULL ray history; set "
+            "keep_history=False, keep_history='found' (bounded "
+            "reservoir), or engine='auto' to fall back."
         )
 
     run_fn = pipeline.make_run(num_iter, keep_history=keep_history,
