@@ -30,7 +30,8 @@ throughput by orders of magnitude):
    counters exactly (mc mode, unit weights), and per-dispatch detected
    counts must agree within a Poisson band;
 3. implied MXU FLOP/s is computed from the known binning MAC count
-   (sum of nx*ny per image per ray; PADDED dims for the fused engine) and
+   (sum over images of the flat-packed accumulator dims the MXU actually
+   contracts, ~nx*ny per ray; fused_trace.image_macs_per_ray) and
    ASSERTED below the one-chip peak; the reported "mfu" field makes the
    physical plausibility auditable.
 """
@@ -57,14 +58,21 @@ def build(intensity, num_iter, engine, **general):
     )
     pipeline = Pipeline(config)
     if engine == "fused":
-        from xicsrt_tpu.ops.fused_trace import build_fused_run
+        from xicsrt_tpu.ops.fused_trace import build_fused_run, \
+            image_macs_per_ray
 
-        chunk = int(os.environ.get("XICSRT_BENCH_CHUNK", "8192"))
+        # 131072 measured fastest on v5e with the flat-packed binning
+        # (8192 -> 3.12e9, 32768 -> 3.24e9, 131072 -> 3.38e9 rays/s,
+        # 262144 -> 3.00e9: bigger chunks amortize per-grid-step overhead
+        # until per-ray VMEM state starts to thrash).
+        chunk = int(os.environ.get("XICSRT_BENCH_CHUNK", "131072"))
         fused = build_fused_run(pipeline, num_iter=num_iter, chunk=chunk)
         run = lambda params, key: fused(key)  # noqa: E731
-        # Padded accumulator dims are what the MXU actually contracts.
+        # Flat-packed accumulator dims (fused_trace.image_macs_per_ray)
+        # are what the MXU actually contracts — ~nx*ny useful MACs, no
+        # lane padding since round 5.
         mpr = sum(
-            _round_up(nx, 8) * _round_up(ny, 128)
+            image_macs_per_ray(nx, ny)
             for (nx, ny), _ in pipeline.image_specs().values()
         )
     else:
@@ -73,10 +81,6 @@ def build(intensity, num_iter, engine, **general):
             nx * ny for (nx, ny), _ in pipeline.image_specs().values()
         )
     return pipeline, run, mpr
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
 
 
 def main():

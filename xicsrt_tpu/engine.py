@@ -408,7 +408,20 @@ def build_runner(config: dict, pipeline: Pipeline | None = None):
         except FusedUnsupported as err:
             if engine_kind == "fused":
                 raise
-            log.info("fused engine unavailable (%s); using XLA engine", err)
+            if fused_history:
+                # The XLA fallback has no bounded reservoir: 'found' is
+                # truthy there and degrades to FULL per-ray history —
+                # O(num_rays * num_iter) host arrays instead of the bounded
+                # buffer the caller asked for. Warn loudly.
+                log.warning(
+                    "fused engine unavailable (%s); keep_history='found' "
+                    "degrades to FULL per-ray history on the XLA engine "
+                    "(unbounded memory in num_rays*num_iter)", err,
+                )
+            else:
+                log.info(
+                    "fused engine unavailable (%s); using XLA engine", err
+                )
     elif engine_kind == "fused":
         raise NotImplementedError(
             "engine='fused' does not keep FULL ray history; set "

@@ -138,6 +138,7 @@ def _grad_optic_spec(optic):
         "check_size": bool(p.get("check_size", True)),
         "xsize": _f(p.get("xsize") or 0.0),
         "ysize": _f(p.get("ysize") or 0.0),
+        "zsize": _f(p.get("zsize") or 0.0),
         "apertures": [],
         "image": None,
     }
@@ -403,6 +404,12 @@ def _trace_fwd(optics, src, P, px, py, pz, dx, dy, dz, alive,
                 mask = mask & (jnp.abs(lxv) < o["xsize"] / 2.0)
             if o["ysize"]:
                 mask = mask & (jnp.abs(lyv) < o["ysize"] / 2.0)
+            if o["zsize"]:
+                # Depth bound on curved optics (base.py check_size /
+                # megakernel fused_trace lzv test). A hard edge: zero
+                # gradient, like the x/y bounds and apertures.
+                lzv = rxq * bzx + ryq * bzy + rzq * bzz
+                mask = mask & (jnp.abs(lzv) < o["zsize"] / 2.0)
         # Aperture block: verbatim semantics of the megakernel
         # (fused_trace.py _trace_chain aperture loop / ops/aperture.py).
         m_in = mask

@@ -84,6 +84,32 @@ def _f(x) -> float:
     return float(np.asarray(x))
 
 
+def _image_acc_shape(im, image_mode):
+    """Kernel accumulator shape for one image (see the flat-packing note
+    in ``_trace_chain``): nearest mode packs the flattened image into
+    (rows, 128) with zero lane padding; bilinear keeps the image-shaped
+    (nx_pad, ny_pad) layout (its +-1-pixel tent splat needs the 2D margin)."""
+    if image_mode == "nearest":
+        return (im["rows"], 128)
+    return (im["nx_pad"], im["ny_pad"])
+
+
+def _image_unpack(img, nx, ny, image_mode):
+    """Host-side view of a kernel accumulator as the (nx, ny) image."""
+    if image_mode == "nearest":
+        return img.reshape(-1)[:nx * ny].reshape(nx, ny)
+    return img[:nx, :ny]
+
+
+def image_macs_per_ray(nx, ny, image_mode="nearest"):
+    """MXU MACs one ray costs in one image's binning contraction (the
+    auditable basis of bench.py's mfu field)."""
+    nx, ny = int(nx), int(ny)
+    if image_mode == "nearest":
+        return _round_up(-(-(nx * ny) // 128), 8) * 128
+    return _round_up(nx, 8) * _round_up(ny, 128)
+
+
 def _v3(x) -> tuple:
     a = np.asarray(x, dtype=np.float64).reshape(3)
     return (float(a[0]), float(a[1]), float(a[2]))
@@ -461,6 +487,12 @@ def _optic_spec(optic, wavelength, per_ray_wl, mode="mc"):
         spec["image"] = {
             "nx": int(nx), "ny": int(ny), "ps": float(optic.pixel_size),
             "nx_pad": _round_up(int(nx), 8), "ny_pad": _round_up(int(ny), 128),
+            # Nearest-mode accumulators are FLAT-packed: pixel (ix, iy) bins
+            # into flat index ix*ny+iy laid out as (rows, 128), so the MXU
+            # contraction costs ~nx*ny MACs/ray instead of
+            # nx_pad*ny_pad (the (104, 128) layout wasted ~60% of the
+            # flagship's binning MACs as lane padding of ny=50..100 images).
+            "rows": _round_up(-(-(int(nx) * int(ny)) // 128), 8),
         }
 
     if isinstance(optic, ShapePlane):
@@ -1057,7 +1089,6 @@ def _trace_chain(optics, sub, keep_meta, keep_images, draw, count_into,
             fx = lxv * (1.0 / im["ps"]) + (im["nx"] - 1) / 2.0
             fy = lyv * (1.0 / im["ps"]) + (im["ny"] - 1) / 2.0
             ref = image_refs[img_slot]
-            acc = jnp.zeros((im["nx_pad"], im["ny_pad"]), f32)
             if image_mode == "nearest":
                 # round-half-to-even, same as the XLA/pallas binning paths
                 # (binning.py:36, pallas_binning.py:81) and the reference's
@@ -1067,38 +1098,44 @@ def _trace_chain(optics, sub, keep_meta, keep_images, draw, count_into,
                 iy = jnp.round(fy).astype(jnp.int32)
                 ok = (alive & (ix >= 0) & (ix < im["nx"])
                       & (iy >= 0) & (iy < im["ny"]))
-                ix = jnp.where(ok, ix, -1)
-                iy = jnp.where(ok, iy, -1)
-                # One-hot factorized histogram on the MXU. Layout is the
-                # whole trick: bins go on SUBLANES (broadcast over a major
-                # dim is free) and rays stay on LANES, contracted via
-                # A @ B^T. The transposed-image accumulator (nx sublanes,
-                # ny lanes) then needs no relayout. Bins-on-lanes
-                # (ix[:, :, None] == lane-iota) costs a per-element lane
-                # splat; measured v5e: 9.7 us -> 1.06 us per 8192-ray chunk
-                # per image (22 -> 205 TFLOP/s, MXU speed-of-light).
-                xb = jax.lax.broadcasted_iota(
-                    jnp.int32, (im["nx_pad"], sub), 0)
-                yb = jax.lax.broadcasted_iota(
-                    jnp.int32, (im["ny_pad"], sub), 0)
+                # One-hot factorized histogram on the MXU, FLAT-packed:
+                # pixel (ix, iy) -> flat = ix*ny + iy, decomposed as
+                # row = flat >> 7 (sublane one-hot) x lane = flat & 127
+                # (lane one-hot), contracted via A @ B^T over the ray
+                # axis into a (rows, 128) accumulator. vs the previous
+                # (nx_pad, ny_pad) image-shaped layout this removes ALL
+                # lane padding (a (100, 50) image costs 40*128 = 5120
+                # MACs/ray instead of 104*128 = 13312); the flat image is
+                # reshaped to (nx, ny) once on the host. Dead rays get
+                # sentinel flat = rows*128: its row is outside the row
+                # iota so the row one-hot (which also carries the weight)
+                # is all-zero and the ray contributes nothing.
+                flat = jnp.where(ok, ix * im["ny"] + iy, im["rows"] * 128)
+                row = jax.lax.shift_right_logical(flat, jnp.int32(7))
+                lane = jnp.bitwise_and(flat, jnp.int32(127))
+                acc = jnp.zeros((im["rows"], 128), f32)
+                rb = jax.lax.broadcasted_iota(
+                    jnp.int32, (im["rows"], sub), 0)
+                lb = jax.lax.broadcasted_iota(jnp.int32, (128, sub), 0)
                 for s in range(8):
                     if wt is None:
                         # Unit weights: exact one-hots, bf16 MXU rate.
-                        oxs = (ix[s][None, :] == xb).astype(jnp.bfloat16)
-                        oys = (iy[s][None, :] == yb).astype(jnp.bfloat16)
+                        oxs = (row[s][None, :] == rb).astype(jnp.bfloat16)
+                        oys = (lane[s][None, :] == lb).astype(jnp.bfloat16)
                     else:
                         # Weighted: fold the (fractional) ray weight into
-                        # the x-side one-hot; f32 matmul keeps the weight
+                        # the row-side one-hot; f32 matmul keeps the weight
                         # mantissa exact (bf16 would quantize at ~0.4%).
-                        oxs = jnp.where(ix[s][None, :] == xb,
+                        oxs = jnp.where(row[s][None, :] == rb,
                                         wt[s][None, :], 0.0)
-                        oys = (iy[s][None, :] == yb).astype(f32)
+                        oys = (lane[s][None, :] == lb).astype(f32)
                     acc += jax.lax.dot_general(
                         oxs, oys,
                         dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=f32,
                     )
             else:
+                acc = jnp.zeros((im["nx_pad"], im["ny_pad"]), f32)
                 # Bilinear splat (binning.py bin_image_bilinear): the
                 # corner weight of ray r on pixel (i, j) is
                 # max(0, 1-|fx-i|) * max(0, 1-|fy-j|) — separable tents,
@@ -1694,11 +1731,10 @@ def build_fused_run(pipeline, num_iter: int | None = None,
     out_specs = [pl.BlockSpec((8, 128), lambda i, *_: (0, 0),
                               memory_space=pltpu.VMEM)]
     for _, im in images:
-        out_shapes.append(
-            jax.ShapeDtypeStruct((im["nx_pad"], im["ny_pad"]), f32)
-        )
+        acc_shape = _image_acc_shape(im, image_mode)
+        out_shapes.append(jax.ShapeDtypeStruct(acc_shape, f32))
         out_specs.append(
-            pl.BlockSpec((im["nx_pad"], im["ny_pad"]), lambda i, *_: (0, 0),
+            pl.BlockSpec(acc_shape, lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM)
         )
     scratch_shapes = []
@@ -1708,7 +1744,7 @@ def build_fused_run(pipeline, num_iter: int | None = None,
         out_shapes.append(
             jax.ShapeDtypeStruct((S_hist, n_hist_rows, 8, sub), f32)
         )
-        out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         scratch_shapes += [
             pltpu.VMEM((n_hist_rows, 8, sub), f32),
             pltpu.SMEM((1,), jnp.int32),
@@ -1906,7 +1942,7 @@ def build_fused_run(pipeline, num_iter: int | None = None,
             if keep_meta else {}
         )
         image = {
-            name: img[:nx, :ny]
+            name: _image_unpack(img, nx, ny, image_mode)
             for name, (nx, ny), img in zip(image_names, image_dims, imgs)
         }
         history = {}
@@ -1922,7 +1958,12 @@ def build_fused_run(pipeline, num_iter: int | None = None,
                 base = ei * n_fields
 
                 def fl(k):
-                    return hist[:, base + k].reshape(-1)
+                    # Slots past slots_used were never DMA'd: zero every
+                    # field there, not just the mask, so consumers that
+                    # reduce over full arrays never see uninitialized HBM.
+                    return jnp.where(
+                        valid_ray, hist[:, base + k].reshape(-1), 0.0
+                    )
 
                 return Rays(
                     origin=jnp.stack([fl(0), fl(1), fl(2)], axis=1),
@@ -2046,11 +2087,10 @@ def build_fused_trace_run(pipeline, num_iter: int | None = None,
     out_specs = [pl.BlockSpec((8, 128), lambda i: (0, 0),
                               memory_space=pltpu.VMEM)]
     for _, im in images:
-        out_shapes.append(
-            jax.ShapeDtypeStruct((im["nx_pad"], im["ny_pad"]), f32)
-        )
+        acc_shape = _image_acc_shape(im, image_mode)
+        out_shapes.append(jax.ShapeDtypeStruct(acc_shape, f32))
         out_specs.append(
-            pl.BlockSpec((im["nx_pad"], im["ny_pad"]), lambda i: (0, 0),
+            pl.BlockSpec(acc_shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
         )
 
@@ -2134,7 +2174,7 @@ def build_fused_trace_run(pipeline, num_iter: int | None = None,
             if keep_meta else {}
         )
         image = {
-            name: img[:nx, :ny]
+            name: _image_unpack(img, nx, ny, image_mode)
             for name, (nx, ny), img in zip(image_names, image_dims, imgs)
         }
         return {"meta": meta, "image": image, "history": {}}

@@ -185,8 +185,17 @@ def make_sharded_run(config: dict, num_iter: int | None = None,
         except FusedUnsupported as err:
             if engine == "fused":
                 raise
-            log.info("fused engine unavailable (%s); sharding the XLA "
-                     "engine", err)
+            if fused_history:
+                # No bounded reservoir on the XLA fallback: 'found'
+                # degrades to FULL per-ray history (see engine.py).
+                log.warning(
+                    "fused engine unavailable (%s); keep_history='found' "
+                    "degrades to FULL per-ray history on the sharded XLA "
+                    "engine (unbounded memory in num_rays*num_iter)", err,
+                )
+            else:
+                log.info("fused engine unavailable (%s); sharding the XLA "
+                         "engine", err)
         else:
             use_images = (bool(g["keep_images"]) if keep_images is None
                           else keep_images)
