@@ -49,10 +49,10 @@ def _base_config(**general):
     }
 
 
-def _write_xop_file(path, fwhm=48.070e-6):
+def _write_xop_file(path, fwhm=48.070e-6, span_urad=300.0):
     """Synthetic XOP diff_pat.dat whose sigma curve is the same gaussian as
     the built-in rocking model (pi curve at half reflectivity)."""
-    dtheta_urad = np.linspace(-300, 300, 1201)
+    dtheta_urad = np.linspace(-span_urad, span_urad, 1201)
     sigma_fwhm_urad = fwhm * 1e6
     s = np.exp(-0.5 * (dtheta_urad / (sigma_fwhm_urad / 2.3548200450309493)) ** 2)
     p = 0.5 * s

@@ -110,6 +110,7 @@ def _replica_loss(spec, pvec, uniforms, gs, dtype=jnp.float32):
         _, images_data, _ = FG._trace_fwd(
             optics, src, jnp.asarray(pvec, dtype),
             px, py, pz, dx, dy, dz, alive, lam=lam, need_saved=False,
+            tables=spec.get("tables"),
         )
         for (oi, w_img, fx, fy) in images_data:
             im = optics[oi]["image"]
@@ -181,7 +182,7 @@ def _manual_gvec(spec, pvec, uniforms, gs, dtype):
                                                         f32=dtype)
         saved, images_data, _ = FG._trace_fwd(
             optics, src, P, px, py, pz, dx, dy, dz, alive,
-            lam=lam, need_saved=True,
+            lam=lam, need_saved=True, tables=spec.get("tables"),
         )
         seeds = {}
         for (oi, w_img, fx, fy) in images_data:
@@ -416,6 +417,76 @@ def _variant_config(kind):
         }
         base["optics"]["detector"] = dict(det, xsize=1.0, ysize=1.0,
                                           pixel_size=0.025)
+    elif kind == "torus_crystal":
+        src.update(angular_dist="isotropic_xy", spread=np.radians(10.0))
+        base["optics"]["crystal"] = {
+            "class_name": "XicsrtOpticToroidalCrystal",
+            "origin": [0.0, -3e-4, 0.80374151],
+            "zaxis": [0.0, 0.59497864, -0.80374151],
+            "xsize": 0.2, "ysize": 0.2,
+            "radius_major": 1.0, "radius_minor": 0.4,
+            "crystal_spacing": 2.45676,
+            "rocking_type": "gaussian", "rocking_fwhm": 1e-3,
+        }
+        base["optics"]["detector"] = dict(det, xsize=1.0, ysize=0.5,
+                                          pixel_size=0.025)
+    elif kind == "convex_torus_mirror":
+        src.update(angular_dist="isotropic", spread=np.radians(5.0))
+        base["optics"]["mirror"] = {
+            "class_name": "XicsrtOpticToroidalMirror",
+            "origin": [0.0, 0.0, 0.5],
+            "zaxis": [0.0, 0.0, -1.0],
+            "xsize": 0.2, "ysize": 0.2,
+            "radius_major": 2.0, "radius_minor": 0.8,
+            "convex": [True, False],
+        }
+        base["optics"]["detector"] = dict(det, origin=[0.0, 0.0, -0.5],
+                                          zaxis=[0.0, 0.0, 1.0],
+                                          xsize=2.0, ysize=2.0,
+                                          pixel_size=0.05)
+    elif kind == "file_rocking":
+        import tempfile
+
+        from tests.test_coverage_extra import _write_xop_file
+
+        # This geometry's deviations sit at 0.4-11 mrad: give the table
+        # a support and width that overlap them, so the interpolated
+        # curve (and its slope) actually gates rays.
+        xop = tempfile.mkdtemp() + "/diff_pat.dat"
+        _write_xop_file(xop, fwhm=1.5e-3, span_urad=4000.0)
+        src.update(angular_dist="isotropic_xy", spread=np.radians(10.0))
+        base["optics"]["crystal"] = {
+            "class_name": "XicsrtOpticSphericalCrystal",
+            "origin": [0.0, -3e-4, 0.80374151],
+            "zaxis": [0.0, 0.59497864, -0.80374151],
+            "xsize": 0.2, "ysize": 0.2, "radius": 1.0,
+            "crystal_spacing": 2.45676,
+            "rocking_type": "file", "rocking_fwhm": None,
+            "rocking_file": xop, "rocking_filetype": "xop",
+        }
+        base["optics"]["detector"] = dict(det, pixel_size=0.02)
+    elif kind == "step_rocking":
+        src.update(angular_dist="isotropic_xy", spread=np.radians(10.0))
+        base["optics"]["crystal"] = {
+            "class_name": "XicsrtOpticSphericalCrystal",
+            "origin": [0.0, -3e-4, 0.80374151],
+            "zaxis": [0.0, 0.59497864, -0.80374151],
+            "xsize": 0.2, "ysize": 0.2, "radius": 1.0,
+            "crystal_spacing": 2.45676,
+            "rocking_type": "step", "rocking_fwhm": 8e-4,
+        }
+        base["optics"]["detector"] = dict(det, pixel_size=0.02)
+    elif kind == "zsize_sphere_mirror":
+        src.update(angular_dist="isotropic", spread=np.radians(6.0))
+        base["optics"]["mirror"] = {
+            "class_name": "XicsrtOpticSphericalMirror",
+            "origin": [0.0, 0.0, 0.80374151],
+            "zaxis": [0.0, 0.59497864, -0.80374151],
+            "xsize": 0.3, "ysize": 0.3, "zsize": 0.01, "radius": 1.5,
+        }
+        base["optics"]["detector"] = dict(det, origin=[0.0, 0.9, 0.45],
+                                          xsize=1.0, ysize=1.0,
+                                          pixel_size=0.025)
     return base
 
 
@@ -426,12 +497,18 @@ def _variant_config(kind):
     "cylinder_crystal",
     "convex_cylinder_mirror",
     "uniform_wavelength",
+    "torus_crystal",
+    "convex_torus_mirror",
+    "file_rocking",
+    "step_rocking",
+    "zsize_sphere_mirror",
 ])
 def test_hand_adjoint_exact_on_variants(kind):
     """f64 exactness of the hand adjoint across the subset's shapes,
     interactions and angular distributions (plane crystal, sphere
-    mirror, CONVEX sphere; flat / isotropic / flat_xy; extended
-    source)."""
+    mirror, CONVEX sphere, torus incl. convex-flag pair; flat /
+    isotropic / flat_xy; file/step rocking; zsize depth bound;
+    extended source)."""
     pipeline = Pipeline(_variant_config(kind))
     forward, vjp, pack, spec = FG.build_fused_diff(
         pipeline, chunk=1024, interpret=True, rng="input"
@@ -456,6 +533,39 @@ def test_hand_adjoint_exact_on_variants(kind):
     assert scale > 0, "variant produced no gradient signal"
     np.testing.assert_allclose(g_hand, g_auto, rtol=1e-8,
                                atol=1e-10 * scale)
+
+
+@pytest.mark.parametrize("kind", ["torus_crystal", "file_rocking"])
+def test_kernel_vjp_on_variants(kind):
+    """The interpreted Pallas kernels (f32, table VMEM inputs, in-kernel
+    torus solver) reproduce the f64 replica gradient for the round-5
+    additions within f32 accumulation noise."""
+    pipeline = Pipeline(_variant_config(kind))
+    forward, vjp, pack, spec = FG.build_fused_diff(
+        pipeline, chunk=1024, interpret=True, rng="input"
+    )
+    pvec = pack(pipeline.params)
+    key = jax.random.key(7)
+    uniforms = jax.random.uniform(
+        key, (spec["n_chunks"], spec["src"]["n_draws"], 8,
+              spec["chunk"] // 8), dtype=jnp.float32,
+    )
+    rng_g = np.random.default_rng(2)
+    gs = {}
+    for o in pipeline.optics:
+        if o.enable_image:
+            nx, ny = (int(v) for v in o.image_shape)
+            gs[o.name] = rng_g.normal(size=(nx, ny)).astype(np.float32)
+    g_truth = _manual_gvec(spec, jnp.asarray(pvec, jnp.float64),
+                           uniforms, gs, jnp.float64)
+    g_kernel = np.asarray(vjp(pvec, key, gs))
+    scale = np.abs(g_truth).max()
+    assert scale > 0
+    np.testing.assert_allclose(g_kernel, g_truth, rtol=2e-2,
+                               atol=5e-3 * scale)
+    if kind == "torus_crystal":
+        # radius_minor (slot 16) gets signal on a torus.
+        assert abs(g_truth[0 * FG.SLOTS_PER_OPTIC + 16]) > 0
 
 
 def test_sharded_fused_gradients():

@@ -10,10 +10,11 @@ and adjoint — lives only in VMEM/registers.
 
 Differentiated parameters enter through SMEM at RUN time (not baked like
 ``build_fused_run``'s geometry), so an optimization loop updates them
-without recompiling: per optic, origin (3), basis rows (9), radius,
-crystal_spacing, rocking_fwhm, reflectivity — the full pose+physics set
-of the reference's alignment problem (``_InteractCrystal.py:96-196``,
-``_GeometryObject.py:137-168``).
+without recompiling: per optic, origin (3), basis rows (9), radius
+(radius_major for tori), crystal_spacing, rocking_fwhm, reflectivity,
+radius_minor — the full pose+physics set of the reference's alignment
+problem (``_InteractCrystal.py:96-196``, ``_GeometryObject.py:137-168``,
+``_ShapeTorus.py:136-183``).
 
 Supported subset (``FusedGradUnsupported`` otherwise):
 
@@ -22,10 +23,15 @@ Supported subset (``FusedGradUnsupported`` otherwise):
   uniform-band wavelengths, counted (non-Poisson) budget — gradients w.r.t. source
   parameters are zero by reparameterization (sampling is independent of
   optic parameters), matching the XLA path's semantics;
-- optics: chains of plane/sphere/cylinder shapes with none/mirror/crystal
-  (gaussian rocking) interactions, size bounds and aperture masks
-  (hard edges carry zero gradient — the standard differentiable-MC
-  approximation, same as the XLA path), bilinear images on any optics;
+- optics: chains of plane/sphere/cylinder/torus shapes (the torus root
+  converges on stop-gradient copies and differentiates through ONE
+  explicit Newton correction — the implicit-function adjoint) with
+  none/mirror/crystal interactions, gaussian / step / measured-file
+  rocking curves (file curves as static tent-matvec tables: gradients
+  flow through the interpolation argument into pose and d-spacing),
+  x/y/z size bounds and aperture masks (hard edges carry zero gradient —
+  the standard differentiable-MC approximation, same as the XLA path),
+  bilinear images on any optics;
 - ``interact_mode='weight'``, float32.
 
 Correctness strategy: the forward and backward are PURE-JNP functions
@@ -59,10 +65,13 @@ class FusedGradUnsupported(FusedUnsupported):
     """Config outside the fused-gradient subset."""
 
 
-SLOTS_PER_OPTIC = 16
-# Slot layout per optic (base = 16 * i):
+SLOTS_PER_OPTIC = 24
+# Slot layout per optic (base = 24 * i):
 #   0:3  origin   3:6  bx   6:9  by   9:12  bz
-#   12 radius   13 crystal_spacing   14 rocking_fwhm   15 reflectivity
+#   12 radius (radius_major for torus)   13 crystal_spacing
+#   14 rocking_fwhm   15 reflectivity   16 radius_minor   17:24 reserved
+# The flat gradient vector is harvested from an (8, 128) accumulator,
+# slot j living at (j // 128, j % 128): up to 1024 slots = 42 optics.
 _EPS = 1e-12
 
 
@@ -126,6 +135,10 @@ def _grad_optic_spec(optic):
         shape, interact = "cylinder", "mirror"
     elif isinstance(optic, C.OpticCylindricalCrystal):
         shape, interact = "cylinder", "crystal"
+    elif isinstance(optic, C.OpticToroidalMirror):
+        shape, interact = "torus", "mirror"
+    elif isinstance(optic, C.OpticToroidalCrystal):
+        shape, interact = "torus", "crystal"
     else:
         raise FusedGradUnsupported(cname)
 
@@ -141,12 +154,41 @@ def _grad_optic_spec(optic):
         "zsize": _f(p.get("zsize") or 0.0),
         "apertures": [],
         "image": None,
+        "rocking": None,
     }
+    if shape == "torus":
+        # convex-flag pair folded into (major_adjust, center_sign) at
+        # initialize (optics/shapes.py ShapeTorus.initialize).
+        spec["major_adjust"] = _f(p["major_adjust"])
+        spec["center_sign"] = _f(p["center_sign"])
     if interact == "crystal":
-        if str(p.get("rocking_type", "gaussian")).lower() != "gaussian":
-            raise FusedGradUnsupported("non-gaussian rocking")
         if not bool(p.get("check_bragg", True)):
             raise FusedGradUnsupported("check_bragg=False crystal")
+        rtype = str(p.get("rocking_type", "gaussian")).lower()
+        if rtype not in ("gaussian", "step", "file"):
+            raise FusedGradUnsupported(f"rocking_type {rtype}")
+        spec["rocking"] = {"type": rtype}
+        if rtype == "file":
+            # Same uniform resampling as the megakernel
+            # (fused_trace._optic_spec): linear interpolation of the
+            # sigma/pi-mixed measured curve becomes a tent-weight matvec
+            # (MXU) in-kernel; the table itself is static (no gradient),
+            # gradients flow through the interpolation ARGUMENT into
+            # pose and d-spacing.
+            tab = optic.rocking_table
+            mix = _f(p.get("rocking_mix", 0.5))
+            dtheta = np.asarray(tab["dtheta"], dtype=np.float64)
+            curve = (mix * np.asarray(tab["reflect_s"], np.float64)
+                     + (1.0 - mix) * np.asarray(tab["reflect_p"],
+                                                np.float64))
+            K = int(min(2048, _round_up(max(4 * len(dtheta), 128), 128)))
+            lo, hi = float(dtheta.min()), float(dtheta.max())
+            grid = np.linspace(lo, hi, K)
+            spec["rocking"].update(
+                table=np.interp(grid, dtheta, curve,
+                                left=0.0, right=0.0).astype(np.float32),
+                lo=lo, inv_step=(K - 1) / (hi - lo), K=K,
+            )
     aps = p.get("aperture")
     if aps:
         from xicsrt_tpu.ops.fused_trace import _optic_spec
@@ -176,13 +218,17 @@ def pack_params(pipeline):
             frame = po["frame"]
             vals.extend(jnp.ravel(jnp.asarray(frame.origin, jnp.float32)))
             vals.extend(jnp.ravel(jnp.asarray(frame.basis, jnp.float32)))
-            vals.append(jnp.asarray(po.get("radius", 0.0), jnp.float32))
+            vals.append(jnp.asarray(
+                po.get("radius", po.get("radius_major", 0.0)), jnp.float32))
             vals.append(jnp.asarray(po.get("crystal_spacing", 0.0),
                                     jnp.float32))
             vals.append(jnp.asarray(po.get("rocking_fwhm", 0.0),
                                     jnp.float32))
             vals.append(jnp.asarray(po.get("reflectivity", 1.0),
                                     jnp.float32))
+            vals.append(jnp.asarray(po.get("radius_minor", 0.0),
+                                    jnp.float32))
+            vals.extend([jnp.float32(0.0)] * (SLOTS_PER_OPTIC - 17))
         n = _round_up(len(vals), 8)
         vec = jnp.zeros((n,), jnp.float32).at[:len(vals)].set(
             jnp.stack([jnp.asarray(v, jnp.float32) for v in vals])
@@ -206,6 +252,7 @@ def unpack_grads(pipeline, gvec):
             "crystal_spacing": float(gvec[b + 13]),
             "rocking_fwhm": float(gvec[b + 14]),
             "reflectivity": float(gvec[b + 15]),
+            "radius_minor": float(gvec[b + 16]),
         }
     return out
 
@@ -287,14 +334,56 @@ def _dot3(ax, ay, az, bx, by, bz):
     return ax * bx + ay * by + az * bz
 
 
+def _file_interp(rk, T, delta, need_slope):
+    """Linear interpolation of a uniformly-resampled rocking curve as a
+    tent-weight matvec (MXU; the megakernel's ``rock_prob`` file branch —
+    no Mosaic gather exists), plus the curve's piecewise-constant SLOPE
+    via the tent-derivative matvec when the backward needs it.
+
+    Returns ``(val, slope_or_None, in_range)`` over (8, sub) deltas.
+    The table is static: gradients flow through the interpolation
+    argument only (matching ``_InteractCrystal.py:151-181`` semantics
+    where the measured curve is data, not a parameter).
+    """
+    K = rk["K"]
+    dt = delta.dtype
+    fidx = (delta - rk["lo"]) * rk["inv_step"]
+    inr = (fidx >= 0.0) & (fidx <= K - 1)
+    fidx = jnp.clip(fidx, 0.0, K - 1.0)
+    sub = delta.shape[-1]
+    kio = jax.lax.broadcasted_iota(jnp.int32, (K, sub), 0).astype(dt)
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, delta.shape, 0)
+    Tm = jnp.asarray(T, dt).reshape(1, K)
+    val = jnp.zeros(delta.shape, dt)
+    slope = jnp.zeros(delta.shape, dt) if need_slope else None
+    dn = (((1,), (0,)), ((), ()))
+    for sl in range(8):
+        dxt = fidx[sl][None, :] - kio
+        tent = jnp.maximum(0.0, 1.0 - jnp.abs(dxt))
+        v = jax.lax.dot_general(Tm, tent, dn, preferred_element_type=dt)
+        val = val + jnp.where(rows_i == sl, v[0][None, :], 0.0)
+        if need_slope:
+            # d tent / d fidx = -sign(dxt) on the open support, 0 at the
+            # apex (sign(0) = 0) — identical to autodiff of the tent.
+            dtent = jnp.where(jnp.abs(dxt) < 1.0, -jnp.sign(dxt), 0.0)
+            sv = jax.lax.dot_general(Tm, dtent, dn,
+                                     preferred_element_type=dt)
+            slope = slope + jnp.where(rows_i == sl, sv[0][None, :], 0.0)
+    if need_slope:
+        slope = slope * rk["inv_step"]
+    return val, slope, inr
+
+
 def _trace_fwd(optics, src, P, px, py, pz, dx, dy, dz, alive,
-               lam=None, need_saved=True):
+               lam=None, need_saved=True, tables=None):
     """Weight-mode forward chain. Returns (saved, images_data, final).
 
-    ``P``: flat params vector (jnp, length 16*n_optics, padded).
+    ``P``: flat params vector (jnp, length 24*n_optics, padded).
     ``saved``: per-optic dict of primals the backward needs.
     ``images_data``: list of (optic_index, w_img, fx, fy) for imaged
     optics (pixel coordinates + masked weights).
+    ``tables``: list of (1, K) rocking-curve tables indexed by each file
+    crystal's ``rocking["slot"]`` (in-kernel these are loaded VMEM refs).
     """
     f32 = px.dtype
     w = jnp.ones_like(px)
@@ -333,6 +422,89 @@ def _trace_fwd(optics, src, P, px, py, pz, dx, dy, dz, alive,
             t = t_ca + (-t_hc if o["convex"] else t_hc)
             s.update(Lx=Lx, Ly=Ly, Lz=Lz, t_ca=t_ca, t_hc=t_hc,
                      Cx=Cx, Cy=Cy, Cz=Cz, r=r)
+        elif o["shape"] == "torus":
+            # Torus axis along the local yaxis, tube center circle of
+            # radius r_maj = radius_major + major_adjust*radius_minor
+            # around center o + center_sign*radius_major*bz (shapes.py
+            # ShapeTorus / megakernel fused_trace torus branch;
+            # _ShapeTorus.py:54-91).
+            Rmj = P[i * SLOTS_PER_OPTIC + 12]
+            rmn = P[i * SLOTS_PER_OPTIC + 16]
+            r_maj = Rmj + o["major_adjust"] * rmn
+            cs = o["center_sign"]
+            Cx = oxp + cs * Rmj * bzx
+            Cy = oyp + cs * Rmj * bzy
+            Cz = ozp + cs * Rmj * bzz
+            rx_, ry_, rz_ = px - Cx, py - Cy, pz - Cz
+            Olx = rx_ * bxx + ry_ * bxy + rz_ * bxz
+            Oly = rx_ * byx + ry_ * byy + rz_ * byz
+            Olz = rx_ * bzx + ry_ * bzy + rz_ * bzz
+            Dlx = _dot3(dx, dy, dz, bxx, bxy, bxz)
+            Dly = _dot3(dx, dy, dz, byx, byy, byz)
+            Dlz = _dot3(dx, dy, dz, bzx, bzy, bzz)
+            # Root find on STOP-GRADIENT copies (the megakernel's
+            # tangent-plane seed + 4 local-quadratic iterations on
+            # G(t) = (rho - r_maj)^2 + Y^2 - r_min^2); differentiability
+            # comes from ONE explicit Newton correction at the converged
+            # (constant) t0 below — the implicit-function derivative —
+            # so autodiff of this forward and the hand adjoint agree
+            # exactly instead of differentiating through the iteration.
+            sgf = jax.lax.stop_gradient
+            Olx0, Oly0, Olz0 = sgf(Olx), sgf(Oly), sgf(Olz)
+            Dlx0, Dly0, Dlz0 = sgf(Dlx), sgf(Dly), sgf(Dlz)
+            rmaj0, rmn0 = sgf(r_maj), sgf(rmn)
+            z0_ = ((px - oxp) * bzx + (py - oyp) * bzy
+                   + (pz - ozp) * bzz)
+            zd_safe = jnp.where(jnp.abs(Dlz0) > 1e-9, Dlz0, 1e-9)
+            t0 = sgf(-z0_ / zd_safe)
+            step = jnp.zeros_like(t0)
+            for _it in range(4):
+                X0 = Olx0 + t0 * Dlx0
+                Y0 = Oly0 + t0 * Dly0
+                Z0 = Olz0 + t0 * Dlz0
+                rho0 = jnp.sqrt(jnp.maximum(X0 * X0 + Z0 * Z0, 1e-30))
+                rr0 = rho0 - rmaj0
+                G0 = rr0 * rr0 + Y0 * Y0 - rmn0 * rmn0
+                rhop0 = (X0 * Dlx0 + Z0 * Dlz0) / rho0
+                Gp0 = 2.0 * rr0 * rhop0 + 2.0 * Y0 * Dly0
+                rhopp0 = ((Dlx0 * Dlx0 + Dlz0 * Dlz0)
+                          - rhop0 * rhop0) / rho0
+                Gpp0 = (2.0 * (rhop0 * rhop0 + rr0 * rhopp0)
+                        + 2.0 * Dly0 * Dly0)
+                disc0 = Gp0 * Gp0 - 2.0 * Gpp0 * G0
+                sg0 = jnp.where(Gp0 >= 0.0, 1.0, -1.0)
+                den0 = Gp0 + sg0 * jnp.sqrt(jnp.maximum(disc0, 0.0))
+                den0 = jnp.where(jnp.abs(den0) > 1e-12, den0,
+                                 sg0 * 1e-12)
+                Gps0 = jnp.where(jnp.abs(Gp0) > 1e-12, Gp0, sg0 * 1e-12)
+                step = jnp.where(disc0 >= 0.0, 2.0 * G0 / den0,
+                                 G0 / Gps0)
+                t0 = t0 - step
+            # NaN/inf iterates fail the comparisons (no isfinite needed —
+            # and Mosaic has no lowering for it).
+            m_int = ((jnp.abs(step) < 1e-5 * jnp.maximum(1.0, rmaj0))
+                     & (t0 > 1e-6) & (t0 < 1e6))
+            mask = alive & m_int
+            # Sanitize the converged root so missed/diverged lanes carry
+            # finite primals (NaN saved values would poison the masked
+            # adjoint sums: 0 * NaN = NaN).
+            t0s = jnp.where(m_int, t0, 0.0)
+            Xt = Olx + t0s * Dlx
+            Yt = Oly + t0s * Dly
+            Zt = Olz + t0s * Dlz
+            rho = jnp.sqrt(jnp.maximum(Xt * Xt + Zt * Zt, 1e-30))
+            rr = rho - r_maj
+            Gv = rr * rr + Yt * Yt - rmn * rmn
+            rhop = (Xt * Dlx + Zt * Dlz) / rho
+            Gp = 2.0 * rr * rhop + 2.0 * Yt * Dly
+            sgp = jnp.where(Gp >= 0.0, 1.0, -1.0)
+            Gp = jnp.where(jnp.abs(Gp) > 1e-9, Gp, sgp * 1e-9)
+            t = jnp.where(m_int, t0s - Gv / Gp, 0.0)
+            s.update(t0s=t0s, X=Xt, Y=Yt, Z=Zt, rho=rho, rr=rr, G=Gv,
+                     rhop=rhop, Gp_t=Gp, m_int=m_int,
+                     Dlx=Dlx, Dly=Dly, Dlz=Dlz,
+                     rx=rx_, ry=ry_, rz=rz_,
+                     Cx=Cx, Cy=Cy, Cz=Cz, r_maj=r_maj, Rmj=Rmj, rmn=rmn)
         else:  # cylinder (axis along the local xaxis; shapes.py)
             r = P[i * SLOTS_PER_OPTIC + 12]
             sign = -1.0 if o["convex"] else 1.0
@@ -395,6 +567,31 @@ def _trace_fwd(optics, src, P, px, py, pz, dx, dy, dz, alive,
             nzv = uz * inv_u
             s.update(tcx=tcx, tcy=tcy, tcz=tcz, along=along,
                      ux=ux, uy=uy, uz=uz, inv_u=inv_u)
+        elif o["shape"] == "torus":
+            # Project the hit onto the torus axis circle (axis = by) and
+            # point from the tube center to the hit — the shapes.py /
+            # megakernel convention.
+            ptx, pty, ptz = qx - s["Cx"], qy - s["Cy"], qz - s["Cz"]
+            dy_ax = _dot3(ptx, pty, ptz, byx, byy, byz)
+            plx = ptx - dy_ax * byx
+            ply = pty - dy_ax * byy
+            plz = ptz - dy_ax * byz
+            inv_pl = jax.lax.rsqrt(jnp.maximum(
+                plx * plx + ply * ply + plz * plz, 1e-30))
+            tux = plx * inv_pl
+            tuy = ply * inv_pl
+            tuz = plz * inv_pl
+            tmx = ptx - s["r_maj"] * tux
+            tmy = pty - s["r_maj"] * tuy
+            tmz = ptz - s["r_maj"] * tuz
+            inv_m = jax.lax.rsqrt(jnp.maximum(
+                tmx * tmx + tmy * tmy + tmz * tmz, 1e-30))
+            nxv = tmx * inv_m
+            nyv = tmy * inv_m
+            nzv = tmz * inv_m
+            s.update(ptx=ptx, pty=pty, ptz=ptz, dy_ax=dy_ax,
+                     inv_pl=inv_pl, tux=tux, tuy=tuy, tuz=tuz,
+                     inv_m=inv_m)
 
         rxq, ryq, rzq = qx - oxp, qy - oyp, qz - ozp
         lxv = rxq * bxx + ryq * bxy + rzq * bxz
@@ -463,18 +660,36 @@ def _trace_fwd(optics, src, P, px, py, pz, dx, dy, dz, alive,
             cosi = jnp.sqrt(jnp.maximum(1.0 - adot * adot, _EPS))
             sd = adot * cos_b - cosi * sin_b
             delta = sd + sd * sd * sd * (1.0 / 6.0)
-            sigma = fwhm * (1.0 / (2.0 * math.sqrt(2.0 * math.log(2.0))))
-            sigma = jnp.maximum(sigma, _EPS)
-            z = delta / sigma
-            prob = refl * jnp.exp(-0.5 * z * z)
+            rtype = o["rocking"]["type"]
+            if rtype == "gaussian":
+                sigma = fwhm * (1.0
+                                / (2.0 * math.sqrt(2.0 * math.log(2.0))))
+                sigma = jnp.maximum(sigma, _EPS)
+                z = delta / sigma
+                prob = refl * jnp.exp(-0.5 * z * z)
+                s.update(sigma=sigma, z=z)
+            elif rtype == "step":
+                # Hard-edged curve (_InteractCrystal.py:136-149): the
+                # acceptance band is a step in delta — reflectivity
+                # gradient flows, delta/fwhm edges carry zero gradient
+                # (the module's hard-edge convention).
+                inside = jnp.abs(delta) <= fwhm / 2.0
+                prob = jnp.where(inside, refl, 0.0)
+                s.update(step_in=inside)
+            else:  # file
+                rk = o["rocking"]
+                val, slope, inr = _file_interp(
+                    rk, tables[rk["slot"]], delta, need_slope=need_saved)
+                prob = jnp.where(inr, refl * val, 0.0)
+                s.update(file_val=val, file_slope=slope, file_in=inr)
             w_pre = w
             w = jnp.where(mask, w * prob, w)
             kk = 2.0 * dot
             dx = jnp.where(mask, dx - kk * nxv, dx)
             dy = jnp.where(mask, dy - kk * nyv, dy)
             dz = jnp.where(mask, dz - kk * nzv, dz)
-            s.update(dot=dot, adot=adot, cosi=cosi, sd=sd, sigma=sigma,
-                     z=z, prob=prob, w_pre=w_pre, sin_b=sin_b,
+            s.update(dot=dot, adot=adot, cosi=cosi, sd=sd,
+                     prob=prob, w_pre=w_pre, sin_b=sin_b,
                      cos_b=cos_b, d_s=d_s, refl=refl, lam=lam)
         elif o["interact"] == "mirror":
             dot = _dot3(dx, dy, dz, nxv, nyv, nzv)
@@ -567,18 +782,31 @@ def _trace_bwd(optics, src, P, saved, seeds):
                 # w_post = where(mask, w_pre * prob, w_pre)
                 prob_b = jnp.where(mask, wb * s["w_pre"], 0.0)
                 wb = jnp.where(mask, wb * prob, wb)
-                sigma = s["sigma"]
-                z = s["z"]
-                delta_b = prob_b * prob * (-z / sigma)
-                sigma_b = prob_b * prob * (z * z / sigma)
-                refl_b = prob_b * (prob / jnp.maximum(
-                    s["refl"], _EPS))
+                rtype = o["rocking"]["type"]
+                if rtype == "gaussian":
+                    sigma = s["sigma"]
+                    z = s["z"]
+                    delta_b = prob_b * prob * (-z / sigma)
+                    sigma_b = prob_b * prob * (z * z / sigma)
+                    refl_b = prob_b * (prob / jnp.maximum(
+                        s["refl"], _EPS))
+                    add_slot(
+                        base + 14,
+                        sigma_b * mf
+                        * (1.0 / (2.0 * math.sqrt(2.0 * math.log(2.0)))),
+                    )
+                elif rtype == "step":
+                    # prob = where(|delta| <= fwhm/2, refl, 0): hard
+                    # edges in delta and fwhm carry zero gradient.
+                    inf_ = s["step_in"].astype(zeros.dtype)
+                    refl_b = prob_b * inf_
+                    delta_b = zeros
+                else:  # file
+                    inf_ = s["file_in"].astype(zeros.dtype)
+                    refl_b = prob_b * s["file_val"] * inf_
+                    delta_b = (prob_b * s["refl"] * s["file_slope"]
+                               * inf_)
                 add_slot(base + 15, refl_b * mf)
-                add_slot(
-                    base + 14,
-                    sigma_b * mf
-                    * (1.0 / (2.0 * math.sqrt(2.0 * math.log(2.0)))),
-                )
                 sd = s["sd"]
                 sd_b = delta_b * (1.0 + 0.5 * sd * sd)
                 adot_b = sd_b * (s["cos_b"]
@@ -656,6 +884,38 @@ def _trace_bwd(optics, src, P, saved, seeds):
             qby = qby - tcby
             qbz = qbz - tcbz
             r_b_n = zeros  # normalize(u) carries no explicit r dependence
+        elif o["shape"] == "torus":
+            # n = normalize(m), m = pt - r_maj * u, u = normalize(pl),
+            # pl = pt - (pt . by) by, pt = q - C.
+            inv_m = s["inv_m"]
+            ndot = (s["nxv"] * nbx + s["nyv"] * nby + s["nzv"] * nbz)
+            mbx = inv_m * (nbx - s["nxv"] * ndot)
+            mby = inv_m * (nby - s["nyv"] * ndot)
+            mbz = inv_m * (nbz - s["nzv"] * ndot)
+            ptbx, ptby, ptbz = mbx, mby, mbz
+            ubx = -s["r_maj"] * mbx
+            uby = -s["r_maj"] * mby
+            ubz = -s["r_maj"] * mbz
+            r_b_n = -(mbx * s["tux"] + mby * s["tuy"] + mbz * s["tuz"])
+            udot = (s["tux"] * ubx + s["tuy"] * uby + s["tuz"] * ubz)
+            plbx = s["inv_pl"] * (ubx - s["tux"] * udot)
+            plby = s["inv_pl"] * (uby - s["tuy"] * udot)
+            plbz = s["inv_pl"] * (ubz - s["tuz"] * udot)
+            ptbx = ptbx + plbx
+            ptby = ptby + plby
+            ptbz = ptbz + plbz
+            dyax_b = -(plbx * byx + plby * byy + plbz * byz)
+            # by_b from pl = pt - dy_ax*by and dy_ax = pt . by
+            add_slot(base + 6, -s["dy_ax"] * plbx + dyax_b * s["ptx"])
+            add_slot(base + 7, -s["dy_ax"] * plby + dyax_b * s["pty"])
+            add_slot(base + 8, -s["dy_ax"] * plbz + dyax_b * s["ptz"])
+            ptbx = ptbx + dyax_b * byx
+            ptby = ptby + dyax_b * byy
+            ptbz = ptbz + dyax_b * byz
+            qbx = qbx + ptbx
+            qby = qby + ptby
+            qbz = qbz + ptbz
+            Cbx, Cby, Cbz = -ptbx, -ptby, -ptbz
         else:
             # n = bz row (constant per ray)
             add_slot(base + 9, nbx)
@@ -748,6 +1008,74 @@ def _trace_bwd(optics, src, P, saved, seeds):
             add_slot(base + 3, axbx)
             add_slot(base + 4, axby)
             add_slot(base + 5, axbz)
+        elif o["shape"] == "torus":
+            # t = where(m_int, t0 - G/Gp, 0) at the CONSTANT converged
+            # t0 (stop-gradient): the implicit-function derivative
+            # dt/dtheta = -G_theta/Gp plus the exact quotient-rule term
+            # through Gp (G ~ 0 but not exactly 0 at 4 iterations).
+            mi = s["m_int"].astype(zeros.dtype)
+            tb_ = t_b * mi
+            Gp = s["Gp_t"]
+            G_b = -tb_ / Gp
+            gpok = (jnp.abs(Gp) > 1e-9).astype(zeros.dtype)
+            Gp_b = gpok * tb_ * s["G"] / (Gp * Gp)
+            rr = s["rr"]
+            rhop = s["rhop"]
+            rho = s["rho"]
+            X, Y, Z = s["X"], s["Y"], s["Z"]
+            Dlx_, Dly_, Dlz_ = s["Dlx"], s["Dly"], s["Dlz"]
+            # Gp = 2 rr rhop + 2 Y Dly ; G = rr^2 + Y^2 - rmn^2
+            rr_b = 2.0 * rhop * Gp_b + 2.0 * rr * G_b
+            rhop_b = 2.0 * rr * Gp_b
+            Y_b = 2.0 * Dly_ * Gp_b + 2.0 * Y * G_b
+            Dly_b = 2.0 * Y * Gp_b
+            rmn_b = -2.0 * s["rmn"] * G_b
+            # rhop = (X Dlx + Z Dlz)/rho ; rr = rho - r_maj
+            X_b = rhop_b * Dlx_ / rho
+            Dlx_b = rhop_b * X / rho
+            Z_b = rhop_b * Dlz_ / rho
+            Dlz_b = rhop_b * Z / rho
+            rho_b = -rhop_b * rhop / rho + rr_b
+            rmaj_b = r_b_n - rr_b
+            # rho = sqrt(X^2 + Z^2)
+            X_b = X_b + rho_b * X / rho
+            Z_b = Z_b + rho_b * Z / rho
+            # X = Olx + t0 Dlx (t0 constant), etc.
+            t0s = s["t0s"]
+            Olx_b, Oly_b, Olz_b = X_b, Y_b, Z_b
+            Dlx_b = Dlx_b + t0s * X_b
+            Dly_b = Dly_b + t0s * Y_b
+            Dlz_b = Dlz_b + t0s * Z_b
+            # Ol* = (p - C) . b_row ; Dl* = d . b_row
+            pbx_new = pbx_new + Olx_b * bxx + Oly_b * byx + Olz_b * bzx
+            pby_new = pby_new + Olx_b * bxy + Oly_b * byy + Olz_b * bzy
+            pbz_new = pbz_new + Olx_b * bxz + Oly_b * byz + Olz_b * bzz
+            Cbx = Cbx - (Olx_b * bxx + Oly_b * byx + Olz_b * bzx)
+            Cby = Cby - (Olx_b * bxy + Oly_b * byy + Olz_b * bzy)
+            Cbz = Cbz - (Olx_b * bxz + Oly_b * byz + Olz_b * bzz)
+            dbx = dbx + Dlx_b * bxx + Dly_b * byx + Dlz_b * bzx
+            dby = dby + Dlx_b * bxy + Dly_b * byy + Dlz_b * bzy
+            dbz = dbz + Dlx_b * bxz + Dly_b * byz + Dlz_b * bzz
+            add_slot(base + 3, Olx_b * s["rx"] + Dlx_b * d0x)
+            add_slot(base + 4, Olx_b * s["ry"] + Dlx_b * d0y)
+            add_slot(base + 5, Olx_b * s["rz"] + Dlx_b * d0z)
+            add_slot(base + 6, Oly_b * s["rx"] + Dly_b * d0x)
+            add_slot(base + 7, Oly_b * s["ry"] + Dly_b * d0y)
+            add_slot(base + 8, Oly_b * s["rz"] + Dly_b * d0z)
+            # C = o + cs * Rmj * bz ; r_maj = Rmj + madj * rmn
+            cs_ = o["center_sign"]
+            add_slot(base + 0, Cbx)
+            add_slot(base + 1, Cby)
+            add_slot(base + 2, Cbz)
+            add_slot(base + 9, Olz_b * s["rx"] + Dlz_b * d0x
+                     + cs_ * s["Rmj"] * Cbx)
+            add_slot(base + 10, Olz_b * s["ry"] + Dlz_b * d0y
+                     + cs_ * s["Rmj"] * Cby)
+            add_slot(base + 11, Olz_b * s["rz"] + Dlz_b * d0z
+                     + cs_ * s["Rmj"] * Cbz)
+            Cdotbz = Cbx * bzx + Cby * bzy + Cbz * bzz
+            add_slot(base + 12, cs_ * Cdotbz + rmaj_b)
+            add_slot(base + 16, rmn_b + o["major_adjust"] * rmaj_b)
         else:
             # sphere: t = t_ca -+ t_hc, L = C - p
             t_hc = jnp.maximum(s["t_hc"], 1e-6)
@@ -826,10 +1154,18 @@ def build_fused_diff(pipeline, num_iter: int | None = None,
     n_chunks = -(-n_total // chunk)
     sub = chunk // 8
     n_slots = _round_up(len(optics) * SLOTS_PER_OPTIC, 8)
-    if n_slots > 128:
-        raise FusedGradUnsupported("more than 8 optics")
+    if n_slots > 1024:
+        raise FusedGradUnsupported("more than 42 optics")
     n_draws = src["n_draws"]
     images = [(i, o["image"]) for i, o in enumerate(optics) if o["image"]]
+    # File rocking curves ride as (1, K) VMEM inputs (kernels cannot
+    # capture array constants); the spec keeps each curve's slot index.
+    tables = []
+    for o in optics:
+        rk = o.get("rocking")
+        if rk is not None and rk.get("type") == "file":
+            rk["slot"] = len(tables)
+            tables.append(np.asarray(rk.pop("table"))[None, :])
 
     if rng is None:
         rng = "input" if interpret else "hw"
@@ -842,6 +1178,7 @@ def build_fused_diff(pipeline, num_iter: int | None = None,
             params_ref = rest.pop(0)
             if rng == "input":
                 rng_ref = rest.pop(0)
+            table_vals = [rest.pop(0)[:] for _ in tables]
             if backward:
                 g_refs = rest[:len(images)]
                 out_ref = rest[len(images)]
@@ -883,7 +1220,7 @@ def build_fused_diff(pipeline, num_iter: int | None = None,
 
             saved, images_data, _final = _trace_fwd(
                 optics, src, P, px, py, pz, dx, dy, dz, alive,
-                lam=lam, need_saved=backward,
+                lam=lam, need_saved=backward, tables=table_vals,
             )
 
             if not backward:
@@ -963,7 +1300,7 @@ def build_fused_diff(pipeline, num_iter: int | None = None,
             for j, val in gslots.items():
                 tot = jnp.sum(val)
                 upd = upd + jnp.where(
-                    (orow == 0) & (ocol == j), tot, 0.0
+                    (orow == j // 128) & (ocol == j % 128), tot, 0.0
                 )
             out_ref[:] += upd
 
@@ -978,6 +1315,12 @@ def build_fused_diff(pipeline, num_iter: int | None = None,
             pl.BlockSpec((None, n_draws, 8, sub), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM)
         )
+    for tab in tables:
+        in_specs_common.append(
+            pl.BlockSpec(tab.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+    table_args = [jnp.asarray(t) for t in tables]
     interp = True if (interpret and rng == "input") else (
         pltpu.InterpretParams() if interpret else False
     )
@@ -992,12 +1335,17 @@ def build_fused_diff(pipeline, num_iter: int | None = None,
                      memory_space=pltpu.VMEM)
         for _, im in images
     ]
+    # The adjoint keeps every per-optic primal live across the sweep;
+    # the default 16 MiB scoped budget overflows above chunk ~16k
+    # (measured 35 MiB at chunk 131072). v5e VMEM is 128 MiB.
+    cparams = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
     fwd_call = pl.pallas_call(
         make_kernel(False),
         grid=(n_chunks,),
         in_specs=list(in_specs_common),
         out_specs=fwd_out_specs,
         out_shape=fwd_out_shapes,
+        compiler_params=cparams,
         interpret=interp,
     )
 
@@ -1013,6 +1361,7 @@ def build_fused_diff(pipeline, num_iter: int | None = None,
         out_specs=pl.BlockSpec((8, 128), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, 128), f32),
+        compiler_params=cparams,
         interpret=interp,
     )
 
@@ -1033,7 +1382,7 @@ def build_fused_diff(pipeline, num_iter: int | None = None,
     @jax.jit
     def forward(pvec, key):
         seed, extra = _seed_and_uniforms(key)
-        imgs = fwd_call(seed, pvec.astype(f32), *extra)
+        imgs = fwd_call(seed, pvec.astype(f32), *extra, *table_args)
         return {
             "image": {
                 name: img[:nx, :ny]
@@ -1052,10 +1401,10 @@ def build_fused_diff(pipeline, num_iter: int | None = None,
             gfull = jnp.zeros((im["nx_pad"], im["ny_pad"]), f32)
             gs.append(gfull.at[:nx, :ny].set(
                 jnp.asarray(g_images[name], f32)))
-        out = bwd_call(seed, pvec.astype(f32), *extra, *gs)
-        return out[0, :n_slots]
+        out = bwd_call(seed, pvec.astype(f32), *extra, *table_args, *gs)
+        return out.reshape(-1)[:n_slots]
 
     spec = {"optics": optics, "src": src, "n_slots": n_slots,
             "n_total": n_total, "n_chunks": n_chunks, "chunk": chunk,
-            "image_names": image_names}
+            "image_names": image_names, "tables": table_args}
     return forward, vjp, pack_params(pipeline), spec
