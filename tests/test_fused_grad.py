@@ -85,6 +85,16 @@ def _build(intensity=1792, chunk=1024):
     return pipeline, forward, vjp, pack, spec
 
 
+def _sample_any(spec, draw, sub, P, dtype):
+    """Dispatch to the plasma or generic sampler (kernel draw order)."""
+    src = spec["src"]
+    if src.get("kind") == "plasma":
+        src_base = len(spec["optics"]) * FG.SLOTS_PER_OPTIC
+        return FG._sample_plasma(src, draw, sub, P, src_base, f32=dtype)
+    out = FG._sample_source(src, draw, sub, f32=dtype)
+    return out + (None, None)
+
+
 def _replica_loss(spec, pvec, uniforms, gs, dtype=jnp.float32):
     """Pure-jnp replica of loss = sum_i g_i * image_i, sharing the
     kernel's forward functions. ``uniforms``: (n_chunks, n_draws, 8, sub);
@@ -105,12 +115,13 @@ def _replica_loss(spec, pvec, uniforms, gs, dtype=jnp.float32):
         rows = jax.lax.broadcasted_iota(jnp.int32, (8, sub), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (8, sub), 1)
         alive = (c * chunk + rows * sub + cols) < n_total
-        px, py, pz, dx, dy, dz, lam = FG._sample_source(src, draw, sub,
-                                                        f32=dtype)
+        P = jnp.asarray(pvec, dtype)
+        px, py, pz, dx, dy, dz, lam, w0v, _aux = _sample_any(
+            spec, draw, sub, P, dtype)
         _, images_data, _ = FG._trace_fwd(
-            optics, src, jnp.asarray(pvec, dtype),
+            optics, src, P,
             px, py, pz, dx, dy, dz, alive, lam=lam, need_saved=False,
-            tables=spec.get("tables"),
+            tables=spec.get("tables"), w0=w0v,
         )
         for (oi, w_img, fx, fy) in images_data:
             im = optics[oi]["image"]
@@ -178,11 +189,11 @@ def _manual_gvec(spec, pvec, uniforms, gs, dtype):
         rows = jax.lax.broadcasted_iota(jnp.int32, (8, sub), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (8, sub), 1)
         alive = (c * chunk + rows * sub + cols) < n_total
-        px, py, pz, dx, dy, dz, lam = FG._sample_source(src, draw, sub,
-                                                        f32=dtype)
+        px, py, pz, dx, dy, dz, lam, w0v, aux = _sample_any(
+            spec, draw, sub, P, dtype)
         saved, images_data, _ = FG._trace_fwd(
             optics, src, P, px, py, pz, dx, dy, dz, alive,
-            lam=lam, need_saved=True, tables=spec.get("tables"),
+            lam=lam, need_saved=True, tables=spec.get("tables"), w0=w0v,
         )
         seeds = {}
         for (oi, w_img, fx, fy) in images_data:
@@ -200,7 +211,11 @@ def _manual_gvec(spec, pvec, uniforms, gs, dtype):
             gpx = jnp.einsum("ri,ij,rj->r", dtx, g, ty).reshape(8, sub)
             gpy = jnp.einsum("ri,ij,rj->r", tx, g, dty).reshape(8, sub)
             seeds[oi] = (gw, gpx * w_img, gpy * w_img)
-        gslots = FG._trace_bwd(optics, src, P, saved, seeds)
+        gslots, wbf, lam_bf = FG._trace_bwd(optics, src, P, saved, seeds)
+        src_base = len(optics) * FG.SLOTS_PER_OPTIC
+        for j, v in FG._source_slot_grads(src, src_base, wbf, lam_bf,
+                                          aux).items():
+            gslots[j] = gslots.get(j, 0.0) + v
         for j, v in gslots.items():
             total[j] += float(jnp.sum(v))
     return total
@@ -476,6 +491,34 @@ def _variant_config(kind):
             "rocking_type": "step", "rocking_fwhm": 8e-4,
         }
         base["optics"]["detector"] = dict(det, pixel_size=0.02)
+    elif kind == "plasma_cubic":
+        # Cubic plasma -> Bragg crystal -> detector: emissivity enters
+        # ray weights, temperature the Doppler width (source slots).
+        # emissivity chosen for ~1536 expected photons:
+        # E * dt * V * sin^2(spread/2) = E * 1e-3 * 1e-6 * 1.2e-3.
+        base["sources"] = {"plasma": {
+            "class_name": "XicsrtPlasmaCubic",
+            "origin": [0.0, 0.0, 0.0],
+            "xsize": 0.01, "ysize": 0.01, "zsize": 0.01,
+            "target": [0.0, -3e-4, 0.80374151],
+            "spread": np.radians(4.0),
+            "emissivity": 1.26e15,
+            "temperature": 1000.0,
+            "mass_number": 40.0,
+            "wavelength": 3.9492,
+            "time_resolution": 1e-3,
+            "bundle_volume": 1e-7,
+            "use_poisson": False,
+        }}
+        base["optics"]["crystal"] = {
+            "class_name": "XicsrtOpticSphericalCrystal",
+            "origin": [0.0, -3e-4, 0.80374151],
+            "zaxis": [0.0, 0.59497864, -0.80374151],
+            "xsize": 0.2, "ysize": 0.2, "radius": 1.0,
+            "crystal_spacing": 2.45676,
+            "rocking_type": "gaussian", "rocking_fwhm": 1e-3,
+        }
+        base["optics"]["detector"] = dict(det, pixel_size=0.02)
     elif kind == "zsize_sphere_mirror":
         src.update(angular_dist="isotropic", spread=np.radians(6.0))
         base["optics"]["mirror"] = {
@@ -502,6 +545,7 @@ def _variant_config(kind):
     "file_rocking",
     "step_rocking",
     "zsize_sphere_mirror",
+    "plasma_cubic",
 ])
 def test_hand_adjoint_exact_on_variants(kind):
     """f64 exactness of the hand adjoint across the subset's shapes,
@@ -533,9 +577,15 @@ def test_hand_adjoint_exact_on_variants(kind):
     assert scale > 0, "variant produced no gradient signal"
     np.testing.assert_allclose(g_hand, g_auto, rtol=1e-8,
                                atol=1e-10 * scale)
+    if kind == "plasma_cubic":
+        # Source slots carry signal: d/d emissivity and d/d temperature.
+        b = len(spec["optics"]) * FG.SLOTS_PER_OPTIC
+        assert abs(g_auto[b + 0]) > 0, "no emissivity gradient"
+        assert abs(g_auto[b + 1]) > 0, "no temperature gradient"
 
 
-@pytest.mark.parametrize("kind", ["torus_crystal", "file_rocking"])
+@pytest.mark.parametrize("kind", ["torus_crystal", "file_rocking",
+                                  "plasma_cubic"])
 def test_kernel_vjp_on_variants(kind):
     """The interpreted Pallas kernels (f32, table VMEM inputs, in-kernel
     torus solver) reproduce the f64 replica gradient for the round-5
@@ -603,6 +653,106 @@ def test_sharded_fused_gradients():
     assert abs(m1) > 5 * s1, (m1, s1)
     assert abs(m8 - m1) < 6 * np.sqrt(s1**2 + s8**2) + 0.02 * abs(m1), (
         f"sharded {m8:.5g}+-{s8:.2g} vs single {m1:.5g}+-{s1:.2g}"
+    )
+
+
+def test_plasma_gradients_fd_and_xla_parity():
+    """d(image)/d(emissivity, temperature) on a cubic plasma: emissivity
+    matches the exact linear-rate derivative (image/E, finite
+    differences are exact); temperature matches central finite
+    differences of the fused forward (same frozen rays) and the XLA
+    engine's jax.grad through the params-driven Doppler width
+    (different sampler -> MC tolerance)."""
+    # Hot, point-like plasma + second-moment detector loss: temperature
+    # controls the Doppler width, the width functional sees it far above
+    # MC noise (measured SNR ~30 over keys; a flat total-weight loss is
+    # T-invariant to first order — the line just spreads).
+    config = _variant_config("plasma_cubic")
+    p = config["sources"]["plasma"]
+    p["emissivity"] = 8.3e20
+    p["temperature"] = 2e4
+    p["xsize"] = p["ysize"] = p["zsize"] = 2e-4
+    p["bundle_volume"] = 8e-12
+    config["optics"]["detector"]["pixel_size"] = 0.002
+    pipeline = Pipeline(config)
+    forward, vjp, pack, spec = FG.build_fused_diff(
+        pipeline, chunk=1024, interpret=True, rng="input"
+    )
+    pvec = pack(pipeline.params)
+    b = len(spec["optics"]) * FG.SLOTS_PER_OPTIC
+    key = jax.random.key(4)
+
+    img0 = np.asarray(forward(pvec, key)["image"]["detector"])
+    prof = img0.sum(axis=1)
+    cx = (np.arange(len(prof)) * prof).sum() / max(prof.sum(), 1e-9)
+    nx, ny = img0.shape
+    gs = {}
+    for o in pipeline.optics:
+        if o.enable_image:
+            shape = tuple(int(v) for v in o.image_shape)
+            if o.name == "detector":
+                gs[o.name] = np.broadcast_to(
+                    ((np.arange(nx) - cx) ** 2)[:, None].astype(
+                        np.float32), shape).copy()
+            else:
+                gs[o.name] = np.zeros(shape, np.float32)
+
+    gv = np.asarray(vjp(pvec, key, gs))
+    g_det = jnp.asarray(gs["detector"])
+
+    def loss_at(pv):
+        out = forward(pv, key)
+        return float(jnp.sum(out["image"]["detector"] * g_det))
+
+    # Emissivity: image is exactly linear in E -> FD over a WIDE step is
+    # exact (up to f32 noise).
+    E0 = float(pvec[b + 0])
+    hE = 0.05 * E0
+    fd_E = (loss_at(pvec.at[b + 0].add(hE))
+            - loss_at(pvec.at[b + 0].add(-hE))) / (2 * hE)
+    assert abs(gv[b + 0] - fd_E) < 2e-2 * abs(fd_E), (gv[b + 0], fd_E)
+
+    # Temperature: smooth reparameterized dependence -> central FD.
+    T0 = float(pvec[b + 1])
+    hT = 0.02 * T0
+    fd_T = (loss_at(pvec.at[b + 1].add(hT))
+            - loss_at(pvec.at[b + 1].add(-hT))) / (2 * hT)
+    assert abs(fd_T) > 0
+    assert abs(gv[b + 1] - fd_T) < 0.15 * abs(fd_T) + 1e-12, (
+        gv[b + 1], fd_T)
+
+    # XLA engine parity for d/dT (params-driven constant profiles).
+    from xicsrt_tpu.gradients import make_differentiable
+
+    xconfig = _variant_config("plasma_cubic")
+    xp = xconfig["sources"]["plasma"]
+    xp["emissivity"] = 8.3e20
+    xp["temperature"] = 2e4
+    xp["xsize"] = xp["ysize"] = xp["zsize"] = 2e-4
+    xp["bundle_volume"] = 8e-12
+    xconfig["optics"]["detector"]["pixel_size"] = 0.002
+    xconfig["general"]["dtype"] = "float64"
+    image_fn, pipe2 = make_differentiable(xconfig)
+    params = pipe2.params
+    T_leaf = params["sources"]["plasma"]["temperature"]
+
+    def loss(T, key):
+        p = dict(params)
+        p["sources"] = {"plasma": dict(params["sources"]["plasma"])}
+        p["sources"]["plasma"]["temperature"] = T
+        return jnp.sum(image_fn(p, key)["detector"]
+                       * g_det.astype(jnp.float64))
+
+    gfn = jax.jit(jax.grad(loss))
+    g_x = np.asarray([float(gfn(T_leaf, jax.random.key(k)))
+                      for k in range(6)])
+    g_f = np.asarray([float(vjp(pvec, jax.random.key(k), gs)[b + 1])
+                      for k in range(6)])
+    mf, sf = g_f.mean(), g_f.std(ddof=1) / 2.0
+    mx, sx = g_x.mean(), g_x.std(ddof=1) / 2.0
+    assert abs(mf) > 3 * sf, (mf, sf)
+    assert abs(mf - mx) < 6 * np.sqrt(sf**2 + sx**2) + 0.05 * abs(mx), (
+        f"fused {mf:.5g}+-{sf:.2g} vs xla {mx:.5g}+-{sx:.2g}"
     )
 
 

@@ -90,7 +90,7 @@ def _grad_source_spec(source):
     from xicsrt_tpu.sources.plasma import PlasmaGeneric
 
     if isinstance(source, PlasmaGeneric):
-        raise FusedGradUnsupported("plasma sources")
+        return _grad_plasma_spec(source)
     filters = source.param.get("filters")
     if filters is not None and len(filters) > 0:
         raise FusedGradUnsupported("ray-filtered source")
@@ -110,6 +110,184 @@ def _grad_source_spec(source):
         raise FusedGradUnsupported(f"angular_dist {spec['dist'][0]!r}")
     spec["intensity"] = int(source.num_rays)
     return spec
+
+
+# Source slot block appended AFTER the optic blocks (plasma sources):
+#   src_base = n_optics * SLOTS_PER_OPTIC
+#   src_base + 0  emissivity   src_base + 1  temperature   2:8 reserved
+SRC_SLOTS = 8
+
+
+def _grad_plasma_spec(source):
+    """Plasma sources in the gradient subset: CONSTANT profiles
+    (PlasmaGeneric/PlasmaCubic), counted budget, constant cone spread.
+
+    d(image)/d(emissivity, temperature) — the scientific payoff of a
+    differentiable XICS code (fitting measured spectra against profile
+    parameters; ``_XicsrtPlasmaGeneric.py:269-320`` real-units
+    semantics) — runs in-kernel: emissivity enters each ray's WEIGHT
+    (w0 = expected_photons(E)/n_rays, exact linear-rate derivative —
+    the XLA engine's integer photon counts carry no gradient at all),
+    temperature enters the Doppler width by reparameterization
+    (lambda = lambda0 + sigma(T) * n with n a fixed standard normal).
+
+    Sampling is the bundle_count -> n_rays limit of the bundle picture
+    (one fresh bundle per ray): for constant profiles the MEAN image is
+    identical for every bundle_count, with strictly less clustering
+    variance.
+    """
+    from xicsrt_tpu.sources.plasma import PlasmaCubic, PlasmaGeneric
+
+    if type(source) not in (PlasmaGeneric, PlasmaCubic):
+        raise FusedGradUnsupported(
+            "plasma with non-constant profiles (XLA path only)"
+        )
+    p = source.param
+    filters = p.get("filters")
+    if filters is not None and len(filters) > 0:
+        raise FusedGradUnsupported("ray-filtered plasma")
+    if bool(p["use_poisson"]):
+        raise FusedGradUnsupported("Poisson budget (set use_poisson=False)")
+    if p.get("spread") is None:
+        raise FusedGradUnsupported("spread_radius plasma (use a constant "
+                                   "spread)")
+    velocity = np.asarray(p["velocity"], dtype=np.float64).reshape(3)
+
+    frame = source.frame
+    basis = np.asarray(frame.basis, dtype=np.float64)
+    spread = float(p["spread"])
+    omega = 4.0 * math.pi * math.sin(spread / 2.0) ** 2
+    E0 = float(p["emissivity"])
+    T0 = float(p["temperature"])
+    if E0 <= 0.0:
+        raise FusedGradUnsupported("emissivity must be positive")
+    expected = (E0 * float(p["time_resolution"]) * float(p["volume"])
+                * omega / (4.0 * math.pi)
+                * float(p["intensity_scale"]))
+    n_rays = max(int(round(expected)), 1)
+    w0 = float(p["wavelength"])
+    # sigma(T) = sigma_conv * sqrt(T) (plasma.py Doppler formula).
+    sigma_conv = math.sqrt(
+        1.602176634e-19
+        / (float(p["mass_number"]) * 1.66053906892e-27 * 299792458.0 ** 2)
+    ) * w0
+    voxel = float(source.voxel_size)
+    sizes = tuple(float(p[k]) for k in ("xsize", "ysize", "zsize"))
+    n_draws = (sum(1 for s in sizes if s != 0.0)
+               + (3 if voxel > 0.0 else 0)
+               + 2                      # cone direction
+               + 1                      # gaussian (erf_inv)
+               + (1 if source.gamma > 0.0 else 0))
+    return {
+        "kind": "plasma",
+        "origin": _v3(frame.origin),
+        "basis": tuple(_v3(r) for r in basis),
+        "sizes": sizes,
+        "voxel": voxel,
+        "target": _v3(np.asarray(p["target"], dtype=np.float64)),
+        "cos_spread": math.cos(spread),
+        "wavelength": w0,
+        "sigma_conv": float(sigma_conv),
+        "gamma": float(source.gamma),
+        "velocity": (_v3(velocity) if np.any(velocity != 0.0) else None),
+        "E0": E0,
+        "T0": T0,
+        "w0_base": expected / n_rays,
+        "intensity": n_rays,
+        "n_draws": n_draws,
+    }
+
+
+def _sample_plasma(src, draw, sub, P, src_base, f32=jnp.float32):
+    """Per-ray plasma sampling (the megakernel's plasma formulas in the
+    one-bundle-per-ray limit). Returns
+    ``(px, py, pz, dx, dy, dz, lam, w0, aux)`` with ``aux`` carrying the
+    primals the source-slot adjoint needs."""
+    ox, oy, oz = src["origin"]
+    B = src["basis"]
+    px = jnp.full((8, sub), ox, f32)
+    py = jnp.full((8, sub), oy, f32)
+    pz = jnp.full((8, sub), oz, f32)
+    for s_, brow in zip(src["sizes"], B):
+        if s_ != 0.0:
+            o_l = (draw() - 0.5) * s_
+            px += o_l * brow[0]
+            py += o_l * brow[1]
+            pz += o_l * brow[2]
+    if src["voxel"] > 0.0:
+        h = src["voxel"]
+        for brow in B:
+            o_l = (draw() - 0.5) * h
+            px += o_l * brow[0]
+            py += o_l * brow[1]
+            pz += o_l * brow[2]
+    # Isotropic cone aimed at the target; per-ray orthogonal basis
+    # (fused_trace focused-source block / vec.orthogonal_basis).
+    tx_, ty_, tz_ = src["target"]
+    nx_ = tx_ - px
+    ny_ = ty_ - py
+    nz_ = tz_ - pz
+    inv = jax.lax.rsqrt(jnp.maximum(
+        nx_ * nx_ + ny_ * ny_ + nz_ * nz_, 1e-30))
+    nx_, ny_, nz_ = nx_ * inv, ny_ * inv, nz_ * inv
+    hx = B[0][0] + B[2][0]
+    hy = B[0][1] + B[2][1]
+    hz = B[0][2] + B[2][2]
+    o1x = ny_ * hz - nz_ * hy
+    o1y = nz_ * hx - nx_ * hz
+    o1z = nx_ * hy - ny_ * hx
+    inv = jax.lax.rsqrt(jnp.maximum(
+        o1x * o1x + o1y * o1y + o1z * o1z, 1e-30))
+    o1x, o1y, o1z = o1x * inv, o1y * inv, o1z * inv
+    o2x = ny_ * o1z - nz_ * o1y
+    o2y = nz_ * o1x - nx_ * o1z
+    o2z = nx_ * o1y - ny_ * o1x
+    u, v = draw(), draw()
+    lz = 1.0 - u * (1.0 - src["cos_spread"])
+    rho = jnp.sqrt(jnp.maximum(1.0 - lz * lz, 0.0))
+    phi = v * (2.0 * math.pi)
+    lx = rho * jnp.cos(phi)
+    ly = rho * jnp.sin(phi)
+    dx = lx * o2x + ly * o1x + lz * nx_
+    dy = lx * o2y + ly * o1y + lz * ny_
+    dz = lx * o2z + ly * o1z + lz * nz_
+    # Exact Voigt wavelength with the DIFFERENTIATED temperature slot:
+    # lambda = (lambda0 + sigma(T) n + gamma c) * doppler, n and c fixed
+    # draws (reparameterization).
+    T = P[src_base + 1]
+    E = P[src_base + 0]
+    u_g = jnp.clip(draw(), 1e-7, 1.0 - 1e-7)
+    n_g = math.sqrt(2.0) * jax.lax.erf_inv(2.0 * u_g - 1.0)
+    sqrtT = jnp.sqrt(jnp.maximum(T, 1e-30))
+    lam = src["wavelength"] + src["sigma_conv"] * sqrtT * n_g
+    if src["gamma"] > 0.0:
+        uc = jnp.clip(draw(), 1e-7, 1.0 - 1e-7)
+        lam = lam + src["gamma"] * jnp.tan(math.pi * (uc - 0.5))
+    if src["velocity"] is not None:
+        vx_, vy_, vz_ = src["velocity"]
+        dop = 1.0 - (vx_ * dx + vy_ * dy + vz_ * dz) * (
+            1.0 / 299792458.0)
+    else:
+        dop = jnp.ones_like(lam)
+    lam = lam * dop
+    w0 = (src["w0_base"] / src["E0"]) * E + jnp.zeros_like(px)
+    aux = {"n_g": n_g, "sqrtT": sqrtT, "dop": dop}
+    return px, py, pz, dx, dy, dz, lam, w0, aux
+
+
+def _source_slot_grads(src, src_base, wb, lamb, aux):
+    """Map the sweep's terminal adjoints (dL/d w0 per ray, dL/d lambda
+    per ray) onto the source parameter slots."""
+    out = {}
+    if src.get("kind") != "plasma":
+        return out
+    # w0 = (w0_base / E0) * E
+    out[src_base + 0] = wb * (src["w0_base"] / src["E0"])
+    # lambda = (lambda0 + sigma_conv sqrt(T) n + ...) * dop
+    dlam_dT = (src["sigma_conv"] * aux["n_g"] * aux["dop"]
+               / (2.0 * aux["sqrtT"]))
+    out[src_base + 1] = lamb * dlam_dT
+    return out
 
 
 def _grad_optic_spec(optic):
@@ -209,7 +387,11 @@ def _grad_optic_spec(optic):
 def pack_params(pipeline):
     """Flatten the differentiated leaves of ``pipeline.params`` into the
     SMEM vector (and return the packer for updated pytrees)."""
+    from xicsrt_tpu.sources.plasma import PlasmaGeneric
+
     optics = pipeline.optics
+    src_name = (pipeline.source.name
+                if isinstance(pipeline.source, PlasmaGeneric) else None)
 
     def pack(params):
         vals = []
@@ -229,6 +411,11 @@ def pack_params(pipeline):
             vals.append(jnp.asarray(po.get("radius_minor", 0.0),
                                     jnp.float32))
             vals.extend([jnp.float32(0.0)] * (SLOTS_PER_OPTIC - 17))
+        if src_name is not None:
+            ps = params["sources"][src_name]
+            vals.append(jnp.asarray(ps["emissivity"], jnp.float32))
+            vals.append(jnp.asarray(ps["temperature"], jnp.float32))
+            vals.extend([jnp.float32(0.0)] * (SRC_SLOTS - 2))
         n = _round_up(len(vals), 8)
         vec = jnp.zeros((n,), jnp.float32).at[:len(vals)].set(
             jnp.stack([jnp.asarray(v, jnp.float32) for v in vals])
@@ -253,6 +440,14 @@ def unpack_grads(pipeline, gvec):
             "rocking_fwhm": float(gvec[b + 14]),
             "reflectivity": float(gvec[b + 15]),
             "radius_minor": float(gvec[b + 16]),
+        }
+    from xicsrt_tpu.sources.plasma import PlasmaGeneric
+
+    if isinstance(pipeline.source, PlasmaGeneric):
+        b = len(pipeline.optics) * SLOTS_PER_OPTIC
+        out[pipeline.source.name] = {
+            "emissivity": float(gvec[b + 0]),
+            "temperature": float(gvec[b + 1]),
         }
     return out
 
@@ -375,7 +570,7 @@ def _file_interp(rk, T, delta, need_slope):
 
 
 def _trace_fwd(optics, src, P, px, py, pz, dx, dy, dz, alive,
-               lam=None, need_saved=True, tables=None):
+               lam=None, need_saved=True, tables=None, w0=None):
     """Weight-mode forward chain. Returns (saved, images_data, final).
 
     ``P``: flat params vector (jnp, length 24*n_optics, padded).
@@ -384,9 +579,10 @@ def _trace_fwd(optics, src, P, px, py, pz, dx, dy, dz, alive,
     optics (pixel coordinates + masked weights).
     ``tables``: list of (1, K) rocking-curve tables indexed by each file
     crystal's ``rocking["slot"]`` (in-kernel these are loaded VMEM refs).
+    ``w0``: optional per-ray initial weight (plasma photon rate).
     """
     f32 = px.dtype
-    w = jnp.ones_like(px)
+    w = jnp.ones_like(px) if w0 is None else w0 + jnp.zeros_like(px)
     if lam is None:
         lam = src["wavelength"]
     saved = []
@@ -720,13 +916,17 @@ def _trace_fwd(optics, src, P, px, py, pz, dx, dy, dz, alive,
 def _trace_bwd(optics, src, P, saved, seeds):
     """Hand-derived adjoint sweep. ``seeds``: per-optic dict
     {i: (gw, glx, gly)} of cotangents on (masked weight, local-x,
-    local-y) at imaged optics. Returns the flat gradient vector
-    contributions (dict slot->(…) arrays to be summed by the caller)."""
+    local-y) at imaged optics. Returns ``(gslots, wb, lamb)``: the flat
+    gradient vector contributions (dict slot->(…) arrays to be summed
+    by the caller) plus the terminal adjoints of the initial ray weight
+    and the wavelength (for source-parameter slots,
+    ``_source_slot_grads``)."""
     n = len(optics)
     zeros = jnp.zeros_like(saved[0]["t"])
     pbx = pby = pbz = zeros  # adjoint of optic-chain position (q of i-1)
     dbx = dby = dbz = zeros  # adjoint of direction leaving optic i
     wb = zeros               # adjoint of weight after optic i
+    lamb = zeros             # adjoint of the (per-ray) wavelength
     gslots = {}
 
     def add_slot(j, val):
@@ -820,6 +1020,11 @@ def _trace_bwd(optics, src, P, saved, seeds):
                 # clip: zero gradient outside (0,1)
                 inr = (s["sin_b"] > 0.0) & (s["sin_b"] < 1.0)
                 add_slot(base + 13, jnp.where(inr, ds_b, 0.0) * mf)
+                # sin_b = lam / (2 d_s): the wavelength adjoint feeds the
+                # plasma temperature slot (reparameterized Doppler width).
+                lamb = lamb + jnp.where(
+                    inr, sinb_b / (2.0 * jnp.maximum(d_s, _EPS)), 0.0
+                ) * mf
                 dot_b = jnp.sign(dot) * adot_b * mf
             # dot = d_pre . n
             dbx = dbx + dot_b * s["nxv"]
@@ -1116,7 +1321,7 @@ def _trace_bwd(optics, src, P, saved, seeds):
         # weight never reaches an image, so their seeds are zero and all
         # adjoints vanish by linearity. Masked passthrough of state:
         pbx, pby, pbz = pbx_new, pby_new, pbz_new
-    return gslots
+    return gslots, wb, lamb
 
 
 # ---------------------------------------------------------------------------
@@ -1153,7 +1358,9 @@ def build_fused_diff(pipeline, num_iter: int | None = None,
     n_total = src["intensity"] * num_iter
     n_chunks = -(-n_total // chunk)
     sub = chunk // 8
-    n_slots = _round_up(len(optics) * SLOTS_PER_OPTIC, 8)
+    is_plasma = src.get("kind") == "plasma"
+    src_base = len(optics) * SLOTS_PER_OPTIC
+    n_slots = _round_up(src_base + (SRC_SLOTS if is_plasma else 0), 8)
     if n_slots > 1024:
         raise FusedGradUnsupported("more than 42 optics")
     n_draws = src["n_draws"]
@@ -1216,11 +1423,18 @@ def build_fused_diff(pipeline, num_iter: int | None = None,
             ray_index = step * chunk + rows * sub + cols
             alive = ray_index < n_total
 
-            px, py, pz, dx, dy, dz, lam = _sample_source(src, draw, sub)
+            if is_plasma:
+                (px, py, pz, dx, dy, dz, lam, w0v,
+                 aux) = _sample_plasma(src, draw, sub, P, src_base)
+            else:
+                px, py, pz, dx, dy, dz, lam = _sample_source(
+                    src, draw, sub)
+                w0v, aux = None, None
 
             saved, images_data, _final = _trace_fwd(
                 optics, src, P, px, py, pz, dx, dy, dz, alive,
                 lam=lam, need_saved=backward, tables=table_vals,
+                w0=w0v,
             )
 
             if not backward:
@@ -1292,7 +1506,11 @@ def build_fused_diff(pipeline, num_iter: int | None = None,
                     gpy = gpy + sel * (u_py[None, :])
                 seeds[oi] = (gw, gpx * w_img, gpy * w_img)
 
-            gslots = _trace_bwd(optics, src, P, saved, seeds)
+            gslots, wbf, lam_bf = _trace_bwd(optics, src, P, saved,
+                                             seeds)
+            for j, val in _source_slot_grads(
+                    src, src_base, wbf, lam_bf, aux).items():
+                gslots[j] = gslots.get(j, 0.0) + val
 
             orow = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
             ocol = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)

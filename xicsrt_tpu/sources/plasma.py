@@ -196,17 +196,23 @@ class PlasmaGeneric(SourceGeneric):
     # --- device-side profile evaluation ---------------------------------
     def make_profiles(self):
         """Returns fn(params, origin_global, origin_local, key) ->
-        dict(emissivity, temperature, velocity[B,3], mask)."""
-        emissivity = float(self.param["emissivity"])
-        temperature = float(self.param["temperature"])
+        dict(emissivity, temperature, velocity[B,3], mask).
+
+        Constant profiles read emissivity/temperature from the params
+        pytree, so ``jax.grad`` flows through temperature into the
+        Doppler width (emissivity reaches only the integer photon
+        counts, which have no gradient — the fused-grad path
+        differentiates emissivity through ray weights instead)."""
 
         def profiles(params, origin_global, origin_local, key):
             B = origin_global.shape[0]
             dtype = origin_global.dtype
             vel = jnp.broadcast_to(params["velocity"], (B, 3))
             return {
-                "emissivity": jnp.full((B,), emissivity, dtype=dtype),
-                "temperature": jnp.full((B,), temperature, dtype=dtype),
+                "emissivity": jnp.broadcast_to(
+                    jnp.asarray(params["emissivity"], dtype), (B,)),
+                "temperature": jnp.broadcast_to(
+                    jnp.asarray(params["temperature"], dtype), (B,)),
                 "velocity": vel,
                 "mask": jnp.ones((B,), dtype=bool),
             }
@@ -217,6 +223,7 @@ class PlasmaGeneric(SourceGeneric):
         params = super().build_params()
         params["target"] = self.as_array(self.param["target"], (3,))
         params["emissivity"] = self.as_array(self.param["emissivity"])
+        params["temperature"] = self.as_array(self.param["temperature"])
         params["time_resolution"] = self.as_array(self.param["time_resolution"])
         return params
 
