@@ -316,6 +316,57 @@ class TestFoundHistoryReservoir:
         assert (0.0 < w[w < 1.0]).any()
 
 
+class TestSampledHistoryReservoir:
+    """keep_history='sampled' on the fused engine: the first S chunks
+    form an unbiased bounded sample of ALL generated rays; the host
+    split honors history_max_lost (round-4 verdict #5; reference
+    truncated-lost semantics ``xicsrt_raytrace.py:261-266``)."""
+
+    def _run(self, n=1 << 14, **general):
+        config = _spectrometer(
+            n, engine="fused", keep_history="sampled", **general,
+        )
+        return raytrace(config)
+
+    def test_sampled_history_has_found_and_lost(self):
+        result = self._run()
+        found = result["found"]["history"]
+        lost = result["lost"]["history"]
+        assert set(lost) == {"source", "aperture", "crystal", "detector"}
+        n_lost = lost["detector"]["origin"].shape[0]
+        n_found = found["detector"]["origin"].shape[0]
+        assert n_lost > 0 and n_found > 0
+        # Lost rays were born but never reached the detector.
+        assert lost["source"]["mask"].all()
+        assert not lost["detector"]["mask"].any()
+        assert found["detector"]["mask"].all()
+        # Real per-ray states, not zero fill.
+        assert np.std(lost["source"]["direction"][:, 0]) > 0
+        # The sample is unbiased: its found fraction matches the run's
+        # efficiency within a binomial band.
+        n_sample = n_lost + n_found
+        eff = (result["total"]["meta"]["detector"]["num_out"]
+               / result["total"]["meta"]["source"]["num_out"])
+        sigma = np.sqrt(max(eff * (1 - eff) * n_sample, 1.0))
+        assert abs(n_found - eff * n_sample) < 8 * sigma + 1, (
+            n_found, eff * n_sample, n_sample)
+
+    def test_history_max_lost_truncates(self):
+        cap = 100
+        result = self._run(history_max_lost=cap)
+        n_lost = result["lost"]["history"]["detector"]["origin"].shape[0]
+        assert 0 < n_lost <= cap
+
+    def test_sampled_history_feeds_plot_intersect(self):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        from xicsrt_tpu.visual.plot2d import plot_intersect
+
+        result = self._run()
+        assert plot_intersect(result, "detector") is not None
+
+
 class TestWidenedSubset:
     """Round-3 widening: extended/Poisson/voigt/focused sources and
     cylinder/torus shapes run on the fused engine and agree with the XLA

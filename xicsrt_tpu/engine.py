@@ -372,9 +372,13 @@ def build_runner(config: dict, pipeline: Pipeline | None = None):
     num_iter = int(pipeline.general["number_of_iter"])
     engine_kind = str(g.get("engine", "xla")).lower()
     kh = g["keep_history"]
-    # keep_history='found': bounded in-kernel found-ray reservoir on the
-    # fused engine (full history stays an XLA-engine feature).
-    fused_history = isinstance(kh, str) and kh.lower() == "found"
+    # keep_history='found': bounded in-kernel reservoir of the chunks
+    # with detector hits; keep_history='sampled': unbiased bounded
+    # sample of ALL rays (found + lost, honoring history_max_lost) —
+    # both on the fused engine (FULL history stays an XLA-engine
+    # feature).
+    kh_mode = kh.lower() if isinstance(kh, str) else None
+    fused_history = kh_mode in ("found", "sampled")
     if engine_kind in ("fused", "auto") and (not kh or fused_history):
         from xicsrt_tpu.ops.fused_trace import FusedUnsupported, build_fast_run
 
@@ -385,7 +389,8 @@ def build_runner(config: dict, pipeline: Pipeline | None = None):
                 pipeline, num_iter=num_iter,
                 interpret=jax.default_backend() != "tpu",
                 history_slots=(int(g.get("history_found_slots") or 8)
-                               if fused_history else None),
+                               if kh_mode == "found" else None),
+                history_mode=kh_mode or "found",
             )
             build_params = pipeline.params
 
@@ -409,14 +414,14 @@ def build_runner(config: dict, pipeline: Pipeline | None = None):
             if engine_kind == "fused":
                 raise
             if fused_history:
-                # The XLA fallback has no bounded reservoir: 'found' is
-                # truthy there and degrades to FULL per-ray history —
-                # O(num_rays * num_iter) host arrays instead of the bounded
-                # buffer the caller asked for. Warn loudly.
+                # The XLA fallback has no bounded reservoir: 'found' /
+                # 'sampled' are truthy there and degrade to FULL per-ray
+                # history — O(num_rays * num_iter) host arrays instead of
+                # the bounded buffer the caller asked for. Warn loudly.
                 log.warning(
-                    "fused engine unavailable (%s); keep_history='found' "
+                    "fused engine unavailable (%s); keep_history=%r "
                     "degrades to FULL per-ray history on the XLA engine "
-                    "(unbounded memory in num_rays*num_iter)", err,
+                    "(unbounded memory in num_rays*num_iter)", err, kh,
                 )
             else:
                 log.info(

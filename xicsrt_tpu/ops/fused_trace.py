@@ -33,14 +33,17 @@ Supported subset (config ``general.engine='fused'``; build raises
   mesh optics (build-time Chebyshev height-field surrogate + in-kernel
   Newton, :func:`_fit_cheb_surface`);
 - ``mc`` (Bernoulli acceptance) and ``weight`` (probability-weighted)
-  interaction modes; nearest and bilinear image binning; float32; no
-  history (throughput/serving path — the differentiable path stays on
-  the XLA engine).
+  interaction modes; nearest and bilinear image binning; float32;
+- bounded in-kernel history reservoirs: ``keep_history='found'``
+  (chunks with detector hits) and ``keep_history='sampled'`` (first-S
+  chunks — an unbiased sample of all rays, found + lost, sized from
+  ``history_max_lost``). FULL per-ray history stays an XLA-engine
+  feature.
 
 Plasmas beyond 4096 bundles and non-position-based filtered sources run
 on the hybrid trace-only path (:func:`build_fused_trace_run`): XLA
 generation + this optic chain. Still outside every fused path: faceted
-or non-height-field meshes (exact XLA triangle path), float64, ray
+or non-height-field meshes (exact XLA triangle path), float64, FULL ray
 history.
 
 Numerical notes vs the XLA engine (validated statistically in tests):
@@ -1170,7 +1173,8 @@ def _trace_chain(optics, sub, keep_meta, keep_images, draw, count_into,
 def build_fused_run(pipeline, num_iter: int | None = None,
                     chunk: int = 8192, interpret: bool = False,
                     rng: str | None = None,
-                    history_slots: int | None = None):
+                    history_slots: int | None = None,
+                    history_mode: str = "found"):
     """Compile the pipeline into one Pallas kernel.
 
     Returns ``run(key) -> {"meta", "image", "history"}`` tracing
@@ -1276,8 +1280,22 @@ def build_fused_run(pipeline, num_iter: int | None = None,
         images = []
     n_images = len(images)
 
-    # Found-ray history reservoir (see docstring).
-    S_hist = int(history_slots) if history_slots else 0
+    # History reservoir (see docstring): 'found' claims slots for chunks
+    # whose final element kept >= 1 ray; 'sampled' claims the FIRST
+    # S_hist chunks unconditionally — an unbiased iid sample of all
+    # generated rays (chunks are statistically identical), from which
+    # the host splits found/lost and truncates lost to
+    # general.history_max_lost (the reference's lost-ray semantics,
+    # xicsrt_raytrace.py:229-278, as a bounded on-device sample).
+    if history_mode not in ("found", "sampled"):
+        raise ValueError(f"history_mode {history_mode!r}")
+    if history_slots:
+        S_hist = int(history_slots)
+    elif history_mode == "sampled":
+        S_hist = max(1, -(-int(g.get("history_max_lost") or 10000)
+                          // chunk))
+    else:
+        S_hist = 0
     n_fields = 9 if mode == "weight" else 8
     n_hist_rows = n_fields * n_elems if S_hist else 0
 
@@ -1706,14 +1724,17 @@ def build_fused_run(pipeline, num_iter: int | None = None,
                      dx, dy, dz, wl, alive, wt=wt, mode=mode,
                      image_mode=image_mode, record=record)
         if S_hist:
-            # Reservoir write: a chunk whose FINAL element keeps at least
-            # one ray claims the next free HBM slot (sequential TPU grid:
-            # the SMEM slot counter is race-free). counts[1, 0] publishes
-            # the number of used slots to the host.
+            # Reservoir write: in 'found' mode a chunk whose FINAL element
+            # keeps at least one ray claims the next free HBM slot; in
+            # 'sampled' mode every chunk claims one until the reservoir is
+            # full (sequential TPU grid: the SMEM slot counter is
+            # race-free). counts[1, 0] publishes the used-slot count.
             cnt_found = jnp.sum(final_alive[0].astype(jnp.int32))
             slot = slot_ref[0]
+            want = (cnt_found > 0) if history_mode == "found" else (
+                cnt_found > -1)
 
-            @pl.when((cnt_found > 0) & (slot < S_hist))
+            @pl.when(want & (slot < S_hist))
             def _write_hist():
                 cp = pltpu.make_async_copy(
                     hist_scratch, hist_ref.at[slot], dma_sem
@@ -2184,7 +2205,8 @@ def build_fused_trace_run(pipeline, num_iter: int | None = None,
 
 def build_fast_run(pipeline, num_iter: int | None = None,
                    interpret: bool = False, chunk: int | None = None,
-                   history_slots: int | None = None):
+                   history_slots: int | None = None,
+                   history_mode: str = "found"):
     """Fastest applicable Pallas path for a pipeline.
 
     Tries the single-megakernel engine first (zero HBM traffic; plasma
@@ -2204,12 +2226,13 @@ def build_fast_run(pipeline, num_iter: int | None = None,
     try:
         return (build_fused_run(pipeline, num_iter=num_iter,
                                 interpret=interpret,
-                                history_slots=history_slots, **kwargs),
+                                history_slots=history_slots,
+                                history_mode=history_mode, **kwargs),
                 "fused")
     except FusedUnsupported:
-        if history_slots:
+        if history_slots or history_mode == "sampled":
             raise FusedUnsupported(
-                "found-history reservoir requires the megakernel path"
+                "history reservoir requires the megakernel path"
             )
     return (build_fused_trace_run(pipeline, num_iter=num_iter,
                                   interpret=interpret, **kwargs),

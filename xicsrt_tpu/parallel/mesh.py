@@ -166,10 +166,12 @@ def make_sharded_run(config: dict, num_iter: int | None = None,
     if engine is None:
         engine = str(g.get("engine", "xla")).lower()
 
-    # 'found': the fused engine's bounded in-kernel reservoir; each
-    # device fills its own slots and the history arrays shard on axis 0.
-    fused_history = (isinstance(keep_history, str)
-                     and keep_history.lower() == "found")
+    # 'found' / 'sampled': the fused engine's bounded in-kernel
+    # reservoirs; each device fills its own slots and the history arrays
+    # shard on axis 0.
+    kh_mode = (keep_history.lower()
+               if isinstance(keep_history, str) else None)
+    fused_history = kh_mode in ("found", "sampled")
     if engine in ("fused", "auto") and (not keep_history or fused_history):
         from xicsrt_tpu.ops.fused_trace import (
             FusedUnsupported, build_fast_run,
@@ -180,18 +182,20 @@ def make_sharded_run(config: dict, num_iter: int | None = None,
                 pipeline, num_iter=num_iter,
                 interpret=jax.default_backend() != "tpu",
                 history_slots=(int(g.get("history_found_slots") or 8)
-                               if fused_history else None),
+                               if kh_mode == "found" else None),
+                history_mode=kh_mode or "found",
             )
         except FusedUnsupported as err:
             if engine == "fused":
                 raise
             if fused_history:
-                # No bounded reservoir on the XLA fallback: 'found'
-                # degrades to FULL per-ray history (see engine.py).
+                # No bounded reservoir on the XLA fallback: 'found' /
+                # 'sampled' degrade to FULL per-ray history (engine.py).
                 log.warning(
-                    "fused engine unavailable (%s); keep_history='found' "
+                    "fused engine unavailable (%s); keep_history=%r "
                     "degrades to FULL per-ray history on the sharded XLA "
-                    "engine (unbounded memory in num_rays*num_iter)", err,
+                    "engine (unbounded memory in num_rays*num_iter)",
+                    err, keep_history,
                 )
             else:
                 log.info("fused engine unavailable (%s); sharding the XLA "
