@@ -613,6 +613,88 @@ def _collect_tables(optics):
     return tables
 
 
+def torus_local_quadratic_t(o, px, py, pz, dx, dy, dz, alive):
+    """The fused engine's torus root solver (pure jnp; shared by the
+    megakernel's trace chain and the per-ray parity sweep in
+    ``tests/test_fused_engine.py``).
+
+    Newton on the implicit torus equation instead of the closed-form
+    quartic: G(t) = (|xz|(t) - R)^2 + y(t)^2 - r^2 with the
+    tangent-plane hit as the seed. The quartic path (Ferrari +
+    polynomial arccos, used in round 2) costs ~3x more per ray and its
+    root-selection rule ("positive root with minimal optic-local |z|")
+    is exactly what Newton converges to from a near-patch seed on the
+    shallow patches crystal optics are. Rays that miss leave |G| large
+    (or t <= 0) and are masked; NaN iterates fail the comparisons.
+
+    ``o``: spec dict with origin/bx/by/bz rows and radius_major/
+    radius_minor/major_adjust/center_sign (see ``_optic_spec``).
+    Returns ``(t, mask, center, r_maj)`` (t zeroed where masked).
+    """
+    p0, bz = o["origin"], o["bz"]
+    r_min = o["radius_minor"]
+    r_maj = o["radius_major"] + o["major_adjust"] * r_min
+    C = (p0[0] + o["center_sign"] * o["radius_major"] * bz[0],
+         p0[1] + o["center_sign"] * o["radius_major"] * bz[1],
+         p0[2] + o["center_sign"] * o["radius_major"] * bz[2])
+    bxr_, byr_ = o["bx"], o["by"]
+    # Torus-centered local coordinates (torus axis = local y).
+    rx_, ry_, rz_ = px - C[0], py - C[1], pz - C[2]
+    Olx = rx_ * bxr_[0] + ry_ * bxr_[1] + rz_ * bxr_[2]
+    Oly = rx_ * byr_[0] + ry_ * byr_[1] + rz_ * byr_[2]
+    Olz = rx_ * bz[0] + ry_ * bz[1] + rz_ * bz[2]
+    Dlx = dx * bxr_[0] + dy * bxr_[1] + dz * bxr_[2]
+    Dly = dx * byr_[0] + dy * byr_[1] + dz * byr_[2]
+    Dlz = dx * bz[0] + dy * bz[1] + dz * bz[2]
+    # Seed: intersection with the optic tangent plane at p0.
+    z0_ = ((px - p0[0]) * bz[0] + (py - p0[1]) * bz[1]
+           + (pz - p0[2]) * bz[2])
+    zd_safe = jnp.where(jnp.abs(Dlz) > 1e-9, Dlz, 1e-9)
+    t = -z0_ / zd_safe
+    step = jnp.zeros_like(t)
+    # 4 local-quadratic iterations suffice from the tangent-plane
+    # seed (the r4 second-order step converges faster than the
+    # plain Newton that needed 5): gated by the wide-spread
+    # grazing regression test, the convex-flag parity matrix, and the
+    # per-ray silhouette sweep.
+    for _newton in range(4):
+        X_ = Olx + t * Dlx
+        Y_ = Oly + t * Dly
+        Z_ = Olz + t * Dlz
+        rho = jnp.sqrt(jnp.maximum(X_ * X_ + Z_ * Z_, 1e-30))
+        rr = rho - r_maj
+        G = rr * rr + Y_ * Y_ - r_min * r_min
+        rhop = (X_ * Dlx + Z_ * Dlz) / rho
+        Gp = 2.0 * rr * rhop + 2.0 * Y_ * Dly
+        # Grazing rays make the patch root a (near-)double root:
+        # plain Newton converges only LINEARLY there and the
+        # 5-iteration step test classified ~6% of a wide-spread
+        # cone's silhouette band as misses (ADVICE r3, caught by
+        # test_torus_wide_spread_grazing). Take the root of the
+        # LOCAL QUADRATIC model instead — exact for double roots,
+        # identical to Newton as G'' -> 0 — and fall back to the
+        # Newton step where the model has no real root (true
+        # misses: |step| then stays large and the ray masks out).
+        rhopp = ((Dlx * Dlx + Dlz * Dlz) - rhop * rhop) / rho
+        Gpp = 2.0 * (rhop * rhop + rr * rhopp) + 2.0 * Dly * Dly
+        disc = Gp * Gp - 2.0 * Gpp * G
+        sgn = jnp.where(Gp >= 0.0, 1.0, -1.0)
+        denom_q = Gp + sgn * jnp.sqrt(jnp.maximum(disc, 0.0))
+        denom_q = jnp.where(
+            jnp.abs(denom_q) > 1e-12, denom_q, sgn * 1e-12)
+        Gp_safe = jnp.where(jnp.abs(Gp) > 1e-12, Gp, sgn * 1e-12)
+        step = jnp.where(
+            disc >= 0.0, 2.0 * G / denom_q, G / Gp_safe)
+        t = t - step
+    # Converged iff the last Newton step is tiny (quadratic
+    # convergence); the hit-point normal uses the final t, so it
+    # carries no staleness.
+    m_int = alive & (jnp.abs(step) < 1e-5 * max(1.0, r_maj)) \
+        & (t > 1e-6)
+    t = jnp.where(m_int, t, 0.0)
+    return t, m_int, C, r_maj
+
+
 def _trace_chain(optics, sub, keep_meta, keep_images, draw, count_into,
                  image_refs, table_refs, px, py, pz, dx, dy, dz, wl,
                  alive, wt=None, mode="mc", image_mode="nearest",
@@ -797,74 +879,8 @@ def _trace_chain(optics, sub, keep_meta, keep_images, draw, count_into,
             nyv = nlx * bxr_[1] + nly * byr_[1] + nlz * bz[1]
             nzv = nlx * bxr_[2] + nly * byr_[2] + nlz * bz[2]
         else:  # torus (optics/shapes.py ShapeTorus)
-            # Newton on the implicit torus equation instead of the closed
-            # -form quartic: G(t) = (|xz|(t) - R)^2 + y(t)^2 - r^2 with the
-            # tangent-plane hit as the seed. The quartic path (Ferrari +
-            # polynomial arccos, used in round 2) costs ~3x more per ray
-            # and its root-selection rule ("positive root with minimal
-            # optic-local |z|") is exactly what Newton converges to from a
-            # near-patch seed on the shallow patches crystal optics are.
-            # Rays that miss leave |G| large (or t <= 0) and are masked;
-            # NaN iterates fail the comparisons.
-            r_min = o["radius_minor"]
-            r_maj = o["radius_major"] + o["major_adjust"] * r_min
-            C = (p0[0] + o["center_sign"] * o["radius_major"] * bz[0],
-                 p0[1] + o["center_sign"] * o["radius_major"] * bz[1],
-                 p0[2] + o["center_sign"] * o["radius_major"] * bz[2])
-            bxr_, byr_ = o["bx"], o["by"]
-            # Torus-centered local coordinates (torus axis = local y).
-            rx_, ry_, rz_ = px - C[0], py - C[1], pz - C[2]
-            Olx = rx_ * bxr_[0] + ry_ * bxr_[1] + rz_ * bxr_[2]
-            Oly = rx_ * byr_[0] + ry_ * byr_[1] + rz_ * byr_[2]
-            Olz = rx_ * bz[0] + ry_ * bz[1] + rz_ * bz[2]
-            Dlx = dx * bxr_[0] + dy * bxr_[1] + dz * bxr_[2]
-            Dly = dx * byr_[0] + dy * byr_[1] + dz * byr_[2]
-            Dlz = dx * bz[0] + dy * bz[1] + dz * bz[2]
-            # Seed: intersection with the optic tangent plane at p0.
-            z0_ = ((px - p0[0]) * bz[0] + (py - p0[1]) * bz[1]
-                   + (pz - p0[2]) * bz[2])
-            zd_safe = jnp.where(jnp.abs(Dlz) > 1e-9, Dlz, 1e-9)
-            t = -z0_ / zd_safe
-            step = jnp.zeros_like(t)
-            # 4 local-quadratic iterations suffice from the tangent-plane
-            # seed (the r4 second-order step converges faster than the
-            # plain Newton that needed 5): gated by the wide-spread
-            # grazing regression test and the convex-flag parity matrix.
-            for _newton in range(4):
-                X_ = Olx + t * Dlx
-                Y_ = Oly + t * Dly
-                Z_ = Olz + t * Dlz
-                rho = jnp.sqrt(jnp.maximum(X_ * X_ + Z_ * Z_, 1e-30))
-                rr = rho - r_maj
-                G = rr * rr + Y_ * Y_ - r_min * r_min
-                rhop = (X_ * Dlx + Z_ * Dlz) / rho
-                Gp = 2.0 * rr * rhop + 2.0 * Y_ * Dly
-                # Grazing rays make the patch root a (near-)double root:
-                # plain Newton converges only LINEARLY there and the
-                # 5-iteration step test classified ~6% of a wide-spread
-                # cone's silhouette band as misses (ADVICE r3, caught by
-                # test_torus_wide_spread_grazing). Take the root of the
-                # LOCAL QUADRATIC model instead — exact for double roots,
-                # identical to Newton as G'' -> 0 — and fall back to the
-                # Newton step where the model has no real root (true
-                # misses: |step| then stays large and the ray masks out).
-                rhopp = ((Dlx * Dlx + Dlz * Dlz) - rhop * rhop) / rho
-                Gpp = 2.0 * (rhop * rhop + rr * rhopp) + 2.0 * Dly * Dly
-                disc = Gp * Gp - 2.0 * Gpp * G
-                sgn = jnp.where(Gp >= 0.0, 1.0, -1.0)
-                denom_q = Gp + sgn * jnp.sqrt(jnp.maximum(disc, 0.0))
-                denom_q = jnp.where(
-                    jnp.abs(denom_q) > 1e-12, denom_q, sgn * 1e-12)
-                Gp_safe = jnp.where(jnp.abs(Gp) > 1e-12, Gp, sgn * 1e-12)
-                step = jnp.where(
-                    disc >= 0.0, 2.0 * G / denom_q, G / Gp_safe)
-                t = t - step
-            # Converged iff the last Newton step is tiny (quadratic
-            # convergence); the hit-point normal below uses the final t,
-            # so it carries no staleness.
-            m_int = alive & (jnp.abs(step) < 1e-5 * max(1.0, r_maj)) \
-                & (t > 1e-6)
-            t = jnp.where(m_int, t, 0.0)
+            t, m_int, C, r_maj = torus_local_quadratic_t(
+                o, px, py, pz, dx, dy, dz, alive)
 
         qx = jnp.where(m_int, px + t * dx, px)
         qy = jnp.where(m_int, py + t * dy, py)
