@@ -150,11 +150,14 @@ def _flops_per_ray(pipeline, engine):
     mfu with a low VPU estimate says the scenario is latency/structure
     -bound, not that the MXU is busy.
     """
-    # Exact MXU MACs: every enabled image contracts (nx_pad x ny_pad) per
-    # ray on the fused engine (padded dims are what the MXU computes).
+    # Exact MXU MACs: every enabled image contracts its FLAT-packed
+    # accumulator dims per ray on the fused engine (~nx*ny; the padded
+    # image-shaped layout was retired in round 5).
     if engine == "fused":
+        from xicsrt_tpu.ops.fused_trace import image_macs_per_ray
+
         mpr = sum(
-            _round_up(nx, 8) * _round_up(ny, 128)
+            image_macs_per_ray(nx, ny)
             for (nx, ny), _ in pipeline.image_specs().values()
         )
     else:
