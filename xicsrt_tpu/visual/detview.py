@@ -1,11 +1,14 @@
-"""Interactive detector-image viewer with colormap scaling controls.
+"""Interactive detector-image viewer with marginal-sum panes and
+colormap scaling controls.
 
-Equivalent of the reference's ``xicsrt/visual/detview.py:14-256``: an image
-view whose intensity scaling is adjusted interactively — here via matplotlib
-Slider widgets (lower/upper percentile of the displayed range) plus a
+Equivalent of the reference's ``xicsrt/visual/detview.py:14-256``: the
+2x2 marginal layout (``:44-70`` — main image bottom-left, column-sum
+pane above sharing its x axis, row-sum pane to the right sharing its y
+axis) plus interactive intensity scaling — here via matplotlib Slider
+widgets (lower/upper percentile of the displayed range) and a
 log/linear RadioButtons toggle. Works with any matplotlib backend; on a
-non-interactive backend the widgets are still constructed (drag events are
-simply never delivered), so the same code path is testable headless.
+non-interactive backend the widgets are still constructed (drag events
+are simply never delivered), so the same code path is testable headless.
 """
 
 from __future__ import annotations
@@ -14,10 +17,12 @@ import numpy as np
 
 
 class DetViewer:
-    """Holds the figure, image artist, and scaling widgets.
+    """Holds the figure, image artist, marginal panes and widgets.
 
     Keeping widget references on an object prevents their garbage
     collection (which silently disables matplotlib widget callbacks).
+    ``fig.axesdict`` maps {'image', 'xsum', 'ysum'} to their axes
+    (the reference's interface, ``detview.py:54-60``).
     """
 
     def __init__(self, image, extent=None, title="detector", cmap="viridis"):
@@ -25,9 +30,21 @@ class DetViewer:
         from matplotlib.widgets import RadioButtons, Slider
 
         self.image = np.asarray(image, dtype=float)
-        self.fig = plt.figure(figsize=(8, 7))
-        self.ax = self.fig.add_axes((0.10, 0.25, 0.72, 0.68))
-        cax = self.fig.add_axes((0.85, 0.25, 0.03, 0.68))
+        self.fig = plt.figure(figsize=(8, 8))
+        # The reference's marginal layout (detview.py:44-60): image in
+        # the big bottom-left cell, x-sum above it, y-sum to its right.
+        gs = self.fig.add_gridspec(
+            2, 2, width_ratios=[3, 1], height_ratios=[1, 3],
+            left=0.10, right=0.82, bottom=0.25, top=0.95,
+            wspace=0.05, hspace=0.05,
+        )
+        self.ax = self.fig.add_subplot(gs[1, 0])
+        self.ax_xsum = self.fig.add_subplot(gs[0, 0], sharex=self.ax)
+        self.ax_ysum = self.fig.add_subplot(gs[1, 1], sharey=self.ax)
+        cax = self.fig.add_axes((0.86, 0.25, 0.03, 0.52))
+        self.fig.axesdict = {
+            "image": self.ax, "xsum": self.ax_xsum, "ysum": self.ax_ysum,
+        }
 
         self._finite_max = float(self.image.max()) if self.image.size else 1.0
         self.im = self.ax.imshow(
@@ -35,11 +52,30 @@ class DetViewer:
             origin="lower",
             extent=extent,
             cmap=cmap,
-            aspect="equal",
+            aspect="auto",
             interpolation="nearest",
         )
         self.fig.colorbar(self.im, cax=cax, label="counts")
-        self.ax.set_title(title)
+
+        # Marginal sums in the image's data coordinates.
+        nx, ny = self.image.shape
+        if extent is not None:
+            xs = np.linspace(extent[0], extent[1], nx, endpoint=False)
+            xs += (extent[1] - extent[0]) / (2 * nx)
+            ys = np.linspace(extent[2], extent[3], ny, endpoint=False)
+            ys += (extent[3] - extent[2]) / (2 * ny)
+        else:
+            xs = np.arange(nx)
+            ys = np.arange(ny)
+        self.ax_xsum.plot(xs, self.image.sum(axis=1),
+                          drawstyle="steps-mid")
+        self.ax_ysum.plot(self.image.sum(axis=0), ys,
+                          drawstyle="steps-mid")
+        self.ax_xsum.tick_params(labelbottom=False)
+        self.ax_ysum.tick_params(labelleft=False)
+        self.ax_xsum.set_ylabel("column sum")
+        self.ax_ysum.set_xlabel("row sum")
+        self.ax_xsum.set_title(title)
 
         ax_lo = self.fig.add_axes((0.15, 0.12, 0.55, 0.03))
         ax_hi = self.fig.add_axes((0.15, 0.07, 0.55, 0.03))
