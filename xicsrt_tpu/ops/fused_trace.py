@@ -661,10 +661,16 @@ def torus_local_quadratic_t(o, px, py, pz, dx, dy, dz, alive):
         X_ = Olx + t * Dlx
         Y_ = Oly + t * Dly
         Z_ = Olz + t * Dlz
-        rho = jnp.sqrt(jnp.maximum(X_ * X_ + Z_ * Z_, 1e-30))
+        # One rsqrt per iteration replaces a sqrt and two divisions
+        # (sqrt/div run ~20x slower than FMA on the VPU — ROOFLINE.json
+        # put the sqrt-div class at 26% of the toroidal row's time):
+        # rho = s2 * rsqrt(s2), and /rho becomes * inv_rho.
+        s2 = jnp.maximum(X_ * X_ + Z_ * Z_, 1e-30)
+        inv_rho = jax.lax.rsqrt(s2)
+        rho = s2 * inv_rho
         rr = rho - r_maj
         G = rr * rr + Y_ * Y_ - r_min * r_min
-        rhop = (X_ * Dlx + Z_ * Dlz) / rho
+        rhop = (X_ * Dlx + Z_ * Dlz) * inv_rho
         Gp = 2.0 * rr * rhop + 2.0 * Y_ * Dly
         # Grazing rays make the patch root a (near-)double root:
         # plain Newton converges only LINEARLY there and the
@@ -675,7 +681,7 @@ def torus_local_quadratic_t(o, px, py, pz, dx, dy, dz, alive):
         # identical to Newton as G'' -> 0 — and fall back to the
         # Newton step where the model has no real root (true
         # misses: |step| then stays large and the ray masks out).
-        rhopp = ((Dlx * Dlx + Dlz * Dlz) - rhop * rhop) / rho
+        rhopp = ((Dlx * Dlx + Dlz * Dlz) - rhop * rhop) * inv_rho
         Gpp = 2.0 * (rhop * rhop + rr * rhopp) + 2.0 * Dly * Dly
         disc = Gp * Gp - 2.0 * Gpp * G
         sgn = jnp.where(Gp >= 0.0, 1.0, -1.0)
@@ -683,8 +689,9 @@ def torus_local_quadratic_t(o, px, py, pz, dx, dy, dz, alive):
         denom_q = jnp.where(
             jnp.abs(denom_q) > 1e-12, denom_q, sgn * 1e-12)
         Gp_safe = jnp.where(jnp.abs(Gp) > 1e-12, Gp, sgn * 1e-12)
-        step = jnp.where(
-            disc >= 0.0, 2.0 * G / denom_q, G / Gp_safe)
+        # ONE division: select the denominator, then divide.
+        den = jnp.where(disc >= 0.0, 0.5 * denom_q, Gp_safe)
+        step = G / den
         t = t - step
     # Converged iff the last Newton step is tiny (quadratic
     # convergence); the hit-point normal uses the final t, so it
