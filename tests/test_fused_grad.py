@@ -121,7 +121,7 @@ def _replica_loss(spec, pvec, uniforms, gs, dtype=jnp.float32):
         _, images_data, _ = FG._trace_fwd(
             optics, src, P,
             px, py, pz, dx, dy, dz, alive, lam=lam, need_saved=False,
-            tables=spec.get("tables"), w0=w0v,
+            tables=spec.get("tables"), w0=w0v, draw=draw,
         )
         for (oi, w_img, fx, fy) in images_data:
             im = optics[oi]["image"]
@@ -143,7 +143,7 @@ def built():
     pvec = pack(pipeline.params)
     key = jax.random.key(5)
     uniforms = jax.random.uniform(
-        key, (spec["n_chunks"], spec["src"]["n_draws"], 8,
+        key, (spec["n_chunks"], spec["n_draws"], 8,
               spec["chunk"] // 8), dtype=jnp.float32,
     )
     rng_g = np.random.default_rng(0)
@@ -194,6 +194,7 @@ def _manual_gvec(spec, pvec, uniforms, gs, dtype):
         saved, images_data, _ = FG._trace_fwd(
             optics, src, P, px, py, pz, dx, dy, dz, alive,
             lam=lam, need_saved=True, tables=spec.get("tables"), w0=w0v,
+            draw=draw,
         )
         seeds = {}
         for (oi, w_img, fx, fy) in images_data:
@@ -491,6 +492,22 @@ def _variant_config(kind):
             "rocking_type": "step", "rocking_fwhm": 8e-4,
         }
         base["optics"]["detector"] = dict(det, pixel_size=0.02)
+    elif kind == "mosaic_sphere":
+        # HOPG mosaic crystal: per-layer crystallite normals + the
+        # depth-aware survival/reservoir weight estimator, all
+        # differentiated in-kernel (incl. mosaic basis -> shape normal).
+        src.update(angular_dist="isotropic_xy", spread=np.radians(10.0))
+        base["optics"]["crystal"] = {
+            "class_name": "XicsrtOpticSphericalMosaicCrystal",
+            "origin": [0.0, -3e-4, 0.80374151],
+            "zaxis": [0.0, 0.59497864, -0.80374151],
+            "xsize": 0.2, "ysize": 0.2, "radius": 1.0,
+            "crystal_spacing": 2.45676,
+            "rocking_type": "gaussian", "rocking_fwhm": 5e-4,
+            "mosaic_spread": np.radians(0.05),
+            "mosaic_depth": 6,
+        }
+        base["optics"]["detector"] = dict(det, pixel_size=0.02)
     elif kind == "plasma_cubic":
         # Cubic plasma -> Bragg crystal -> detector: emissivity enters
         # ray weights, temperature the Doppler width (source slots).
@@ -546,6 +563,7 @@ def _variant_config(kind):
     "step_rocking",
     "zsize_sphere_mirror",
     "plasma_cubic",
+    "mosaic_sphere",
 ])
 def test_hand_adjoint_exact_on_variants(kind):
     """f64 exactness of the hand adjoint across the subset's shapes,
@@ -559,7 +577,7 @@ def test_hand_adjoint_exact_on_variants(kind):
     )
     pvec = jnp.asarray(pack(pipeline.params), jnp.float64)
     uniforms = jax.random.uniform(
-        jax.random.key(3), (spec["n_chunks"], spec["src"]["n_draws"], 8,
+        jax.random.key(3), (spec["n_chunks"], spec["n_draws"], 8,
                             spec["chunk"] // 8), dtype=jnp.float32,
     )
     rng_g = np.random.default_rng(1)
@@ -585,7 +603,7 @@ def test_hand_adjoint_exact_on_variants(kind):
 
 
 @pytest.mark.parametrize("kind", ["torus_crystal", "file_rocking",
-                                  "plasma_cubic"])
+                                  "plasma_cubic", "mosaic_sphere"])
 def test_kernel_vjp_on_variants(kind):
     """The interpreted Pallas kernels (f32, table VMEM inputs, in-kernel
     torus solver) reproduce the f64 replica gradient for the round-5
@@ -597,7 +615,7 @@ def test_kernel_vjp_on_variants(kind):
     pvec = pack(pipeline.params)
     key = jax.random.key(7)
     uniforms = jax.random.uniform(
-        key, (spec["n_chunks"], spec["src"]["n_draws"], 8,
+        key, (spec["n_chunks"], spec["n_draws"], 8,
               spec["chunk"] // 8), dtype=jnp.float32,
     )
     rng_g = np.random.default_rng(2)

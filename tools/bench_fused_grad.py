@@ -47,6 +47,11 @@ def _config(kind):
         del c["radius"]
         c["radius_major"] = 1.0
         c["radius_minor"] = 0.4
+    elif kind == "mosaic":
+        c = config["optics"]["crystal"]
+        c["class_name"] = "XicsrtOpticSphericalMosaicCrystal"
+        c["mosaic_spread"] = np.radians(0.05)
+        c["mosaic_depth"] = 15
     return config
 
 
@@ -80,7 +85,8 @@ def bench(kind, chunk, reps=5):
 
 
 if __name__ == "__main__":
-    kinds = [sys.argv[1]] if len(sys.argv) > 1 else ["sphere", "torus"]
+    kinds = ([sys.argv[1]] if len(sys.argv) > 1
+             else ["sphere", "torus", "mosaic"])
     chunks = ([int(c) for c in sys.argv[2:]] if len(sys.argv) > 2
               else [8192, 32768, 131072])
     for kind in kinds:

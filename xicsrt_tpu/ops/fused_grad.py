@@ -26,12 +26,16 @@ Supported subset (``FusedGradUnsupported`` otherwise):
 - optics: chains of plane/sphere/cylinder/torus shapes (the torus root
   converges on stop-gradient copies and differentiates through ONE
   explicit Newton correction — the implicit-function adjoint) with
-  none/mirror/crystal interactions, gaussian / step / measured-file
-  rocking curves (file curves as static tent-matvec tables: gradients
-  flow through the interpolation argument into pose and d-spacing),
-  x/y/z size bounds and aperture masks (hard edges carry zero gradient —
-  the standard differentiable-MC approximation, same as the XLA path),
-  bilinear images on any optics;
+  none/mirror/crystal/mosaic interactions, gaussian / step /
+  measured-file rocking curves (file curves as static tent-matvec
+  tables: gradients flow through the interpolation argument into pose
+  and d-spacing), mosaic crystals via the depth-aware survival
+  estimator (per-layer crystallite normals differentiate through the
+  macroscopic normal; the reservoir pick indicator is a hard edge, as
+  in jax.grad of the XLA estimator), x/y/z size bounds and aperture
+  masks (hard edges carry zero gradient — the standard
+  differentiable-MC approximation, same as the XLA path), bilinear
+  images on any optics;
 - ``interact_mode='weight'``, float32.
 
 Correctness strategy: the forward and backward are PURE-JNP functions
@@ -317,6 +321,10 @@ def _grad_optic_spec(optic):
         shape, interact = "torus", "mirror"
     elif isinstance(optic, C.OpticToroidalCrystal):
         shape, interact = "torus", "crystal"
+    elif isinstance(optic, C.OpticPlanarMosaicCrystal):
+        shape, interact = "plane", "mosaic"
+    elif isinstance(optic, C.OpticSphericalMosaicCrystal):
+        shape, interact = "sphere", "mosaic"
     else:
         raise FusedGradUnsupported(cname)
 
@@ -339,7 +347,24 @@ def _grad_optic_spec(optic):
         # initialize (optics/shapes.py ShapeTorus.initialize).
         spec["major_adjust"] = _f(p["major_adjust"])
         spec["center_sign"] = _f(p["center_sign"])
-    if interact == "crystal":
+    if interact == "mosaic":
+        # HOPG mosaic model (_InteractMosaicCrystal.py:53-139): the
+        # weight-mode depth-aware survival estimator with reservoir
+        # layer selection, as in the megakernel/XLA paths; 3 uniforms
+        # per layer (2 crystallite normal, 1 reservoir pick).
+        depth = int(p["mosaic_depth"])
+        spread = _f(p["mosaic_spread"])
+        hwhm = spread / 2.0
+        spec["mosaic"] = {
+            "depth": depth,
+            "sigma_n": math.sin(hwhm / math.sqrt(2.0 * math.log(2.0))),
+            "cutoff_angle": (
+                math.sqrt(-math.log(_f(p["mosaic_cutoff"])) * 2.0)
+                * spread / (2.0 * math.sqrt(2.0 * math.log(2.0)))
+                if p.get("mosaic_cutoff") is not None else None),
+        }
+        spec["n_draws"] = 3 * depth
+    if interact in ("crystal", "mosaic"):
         if not bool(p.get("check_bragg", True)):
             raise FusedGradUnsupported("check_bragg=False crystal")
         rtype = str(p.get("rocking_type", "gaussian")).lower()
@@ -569,8 +594,66 @@ def _file_interp(rk, T, delta, need_slope):
     return val, slope, inr
 
 
+def _rock_fwd(o, P, i, delta, tables, need_saved):
+    """Rocking-curve reflection probability (gaussian / step / file),
+    shared by the crystal and mosaic branches of the forward. Returns
+    ``(prob, rsave)`` with the per-type primals the backward needs."""
+    fwhm = P[i * SLOTS_PER_OPTIC + 14]
+    refl = P[i * SLOTS_PER_OPTIC + 15]
+    rtype = o["rocking"]["type"]
+    rsave = {}
+    if rtype == "gaussian":
+        sigma = fwhm * (1.0 / (2.0 * math.sqrt(2.0 * math.log(2.0))))
+        sigma = jnp.maximum(sigma, _EPS)
+        z = delta / sigma
+        prob = refl * jnp.exp(-0.5 * z * z)
+        rsave.update(sigma=sigma, z=z)
+    elif rtype == "step":
+        inside = jnp.abs(delta) <= fwhm / 2.0
+        prob = jnp.where(inside, refl, 0.0)
+        rsave.update(step_in=inside)
+    else:  # file
+        rk = o["rocking"]
+        val, slope, inr = _file_interp(
+            rk, tables[rk["slot"]], delta, need_slope=need_saved)
+        prob = jnp.where(inr, refl * val, 0.0)
+        rsave.update(file_val=val, file_slope=slope, file_in=inr)
+    rsave["prob"] = prob
+    rsave["refl"] = refl
+    return prob, rsave
+
+
+def _rock_bwd(o, base, rsave, prob_b, add_slot, mf, zeros):
+    """Adjoint of :func:`_rock_fwd`: accumulates the rocking_fwhm and
+    reflectivity slots, returns the deviation cotangent ``delta_b``."""
+    prob = rsave["prob"]
+    rtype = o["rocking"]["type"]
+    if rtype == "gaussian":
+        sigma = rsave["sigma"]
+        z = rsave["z"]
+        delta_b = prob_b * prob * (-z / sigma)
+        sigma_b = prob_b * prob * (z * z / sigma)
+        refl_b = prob_b * (prob / jnp.maximum(rsave["refl"], _EPS))
+        add_slot(
+            base + 14,
+            sigma_b * mf
+            * (1.0 / (2.0 * math.sqrt(2.0 * math.log(2.0)))),
+        )
+    elif rtype == "step":
+        inf_ = rsave["step_in"].astype(zeros.dtype)
+        refl_b = prob_b * inf_
+        delta_b = zeros
+    else:  # file
+        inf_ = rsave["file_in"].astype(zeros.dtype)
+        refl_b = prob_b * rsave["file_val"] * inf_
+        delta_b = prob_b * rsave["refl"] * rsave["file_slope"] * inf_
+    add_slot(base + 15, refl_b * mf)
+    return delta_b
+
+
 def _trace_fwd(optics, src, P, px, py, pz, dx, dy, dz, alive,
-               lam=None, need_saved=True, tables=None, w0=None):
+               lam=None, need_saved=True, tables=None, w0=None,
+               draw=None):
     """Weight-mode forward chain. Returns (saved, images_data, final).
 
     ``P``: flat params vector (jnp, length 24*n_optics, padded).
@@ -580,6 +663,8 @@ def _trace_fwd(optics, src, P, px, py, pz, dx, dy, dz, alive,
     ``tables``: list of (1, K) rocking-curve tables indexed by each file
     crystal's ``rocking["slot"]`` (in-kernel these are loaded VMEM refs).
     ``w0``: optional per-ray initial weight (plasma photon rate).
+    ``draw``: uniform-draw callable for in-chain sampling (mosaic
+    crystallite layers; continues the source sampler's draw sequence).
     """
     f32 = px.dtype
     w = jnp.ones_like(px) if w0 is None else w0 + jnp.zeros_like(px)
@@ -846,7 +931,6 @@ def _trace_fwd(optics, src, P, px, py, pz, dx, dy, dz, alive,
         dpre = (dx, dy, dz)
         if o["interact"] == "crystal":
             d_s = P[i * SLOTS_PER_OPTIC + 13]
-            fwhm = P[i * SLOTS_PER_OPTIC + 14]
             refl = P[i * SLOTS_PER_OPTIC + 15]
             sin_b = jnp.clip(lam / (2.0 * jnp.maximum(d_s, _EPS)),
                              0.0, 1.0)
@@ -856,28 +940,10 @@ def _trace_fwd(optics, src, P, px, py, pz, dx, dy, dz, alive,
             cosi = jnp.sqrt(jnp.maximum(1.0 - adot * adot, _EPS))
             sd = adot * cos_b - cosi * sin_b
             delta = sd + sd * sd * sd * (1.0 / 6.0)
-            rtype = o["rocking"]["type"]
-            if rtype == "gaussian":
-                sigma = fwhm * (1.0
-                                / (2.0 * math.sqrt(2.0 * math.log(2.0))))
-                sigma = jnp.maximum(sigma, _EPS)
-                z = delta / sigma
-                prob = refl * jnp.exp(-0.5 * z * z)
-                s.update(sigma=sigma, z=z)
-            elif rtype == "step":
-                # Hard-edged curve (_InteractCrystal.py:136-149): the
-                # acceptance band is a step in delta — reflectivity
-                # gradient flows, delta/fwhm edges carry zero gradient
-                # (the module's hard-edge convention).
-                inside = jnp.abs(delta) <= fwhm / 2.0
-                prob = jnp.where(inside, refl, 0.0)
-                s.update(step_in=inside)
-            else:  # file
-                rk = o["rocking"]
-                val, slope, inr = _file_interp(
-                    rk, tables[rk["slot"]], delta, need_slope=need_saved)
-                prob = jnp.where(inr, refl * val, 0.0)
-                s.update(file_val=val, file_slope=slope, file_in=inr)
+            # Hard edges (step band, file support) carry zero gradient —
+            # the module's hard-edge convention (_InteractCrystal.py).
+            prob, rsave = _rock_fwd(o, P, i, delta, tables, need_saved)
+            s.update(rsave)
             w_pre = w
             w = jnp.where(mask, w * prob, w)
             kk = 2.0 * dot
@@ -887,6 +953,92 @@ def _trace_fwd(optics, src, P, px, py, pz, dx, dy, dz, alive,
             s.update(dot=dot, adot=adot, cosi=cosi, sd=sd,
                      prob=prob, w_pre=w_pre, sin_b=sin_b,
                      cos_b=cos_b, d_s=d_s, refl=refl, lam=lam)
+        elif o["interact"] == "mosaic":
+            mz = o["mosaic"]
+            d_s = P[i * SLOTS_PER_OPTIC + 13]
+            sin_b = jnp.clip(lam / (2.0 * jnp.maximum(d_s, _EPS)),
+                             0.0, 1.0)
+            cos_b = jnp.sqrt(jnp.maximum(1.0 - sin_b * sin_b, _EPS))
+            if mz["cutoff_angle"] is not None:
+                # Angular prefilter: a hard mask, zero gradient
+                # (megakernel fused_trace mosaic branch).
+                dot0 = _dot3(dx, dy, dz, nxv, nyv, nzv)
+                adot0 = jnp.abs(dot0)
+                cosi0 = jnp.sqrt(jnp.maximum(1.0 - adot0 * adot0, _EPS))
+                sd0 = adot0 * cos_b - cosi0 * sin_b
+                d0d = sd0 + sd0 * sd0 * sd0 * (1.0 / 6.0)
+                mask = mask & (jnp.abs(d0d) < mz["cutoff_angle"])
+            # Crystallite basis around the macroscopic normal
+            # (megakernel / interactions.py mosaic_normals: hint axes
+            # e1+e3): o1 = normalize((ny, nz-nx, -ny)),
+            # o2 = normalize(cross(n, o1)).
+            o1rx, o1ry, o1rz = nyv, nzv - nxv, -nyv
+            inv1 = jax.lax.rsqrt(jnp.maximum(
+                o1rx * o1rx + o1ry * o1ry + o1rz * o1rz, 1e-30))
+            o1x = o1rx * inv1
+            o1y = o1ry * inv1
+            o1z = o1rz * inv1
+            o2rx = nyv * o1z - nzv * o1y
+            o2ry = nzv * o1x - nxv * o1z
+            o2rz = nxv * o1y - nyv * o1x
+            inv2 = jax.lax.rsqrt(jnp.maximum(
+                o2rx * o2rx + o2ry * o2ry + o2rz * o2rz, 1e-30))
+            o2x = o2rx * inv2
+            o2y = o2ry * inv2
+            o2z = o2rz * inv2
+            d0x, d0y, d0z = dx, dy, dz
+            surv = jnp.ones_like(px)
+            cum = jnp.zeros_like(px)
+            cdx, cdy, cdz = dx, dy, dz
+            layers = []
+            for _l in range(mz["depth"]):
+                u1 = jnp.clip(draw(), 1e-7, 1.0 - 1e-7)
+                gx = mz["sigma_n"] * (
+                    math.sqrt(2.0) * jax.lax.erf_inv(2.0 * u1 - 1.0))
+                u2 = jnp.clip(draw(), 1e-7, 1.0 - 1e-7)
+                gy = mz["sigma_n"] * (
+                    math.sqrt(2.0) * jax.lax.erf_inv(2.0 * u2 - 1.0))
+                wn = jax.lax.rsqrt(1.0 + gx * gx + gy * gy)
+                nmx = gx * wn * o2x + gy * wn * o1x + wn * nxv
+                nmy = gx * wn * o2y + gy * wn * o1y + wn * nyv
+                nmz = gx * wn * o2z + gy * wn * o1z + wn * nzv
+                dotm = _dot3(d0x, d0y, d0z, nmx, nmy, nmz)
+                adot = jnp.abs(dotm)
+                cosi = jnp.sqrt(jnp.maximum(1.0 - adot * adot, _EPS))
+                sd = adot * cos_b - cosi * sin_b
+                delta = sd + sd * sd * sd * (1.0 / 6.0)
+                prob, rsave = _rock_fwd(o, P, i, delta, tables,
+                                        need_saved)
+                q = prob * surv
+                cum_new = cum + q
+                u = draw()
+                # Online categorical (reservoir) pick of the reflecting
+                # layer — the selection indicator is a hard edge (zero
+                # gradient), exactly as jax.grad of the XLA weight-mode
+                # estimator treats it (interactions.py:268-305).
+                pick = mask & (u * cum_new < q)
+                kk = 2.0 * dotm
+                cdx = jnp.where(pick, d0x - kk * nmx, cdx)
+                cdy = jnp.where(pick, d0y - kk * nmy, cdy)
+                cdz = jnp.where(pick, d0z - kk * nmz, cdz)
+                if need_saved:
+                    layers.append(dict(
+                        rsave, nmx=nmx, nmy=nmy, nmz=nmz, dotm=dotm,
+                        adot=adot, cosi=cosi, sd=sd, surv_prev=surv,
+                        pick=pick, gxw=gx * wn, gyw=gy * wn, wn=wn,
+                    ))
+                surv = surv * (1.0 - prob)
+                cum = cum_new
+            w_pre = w
+            w = jnp.where(mask, w * cum, w)
+            dx, dy, dz = cdx, cdy, cdz
+            s.update(layers=layers, cum=cum, w_pre=w_pre,
+                     sin_b=sin_b, cos_b=cos_b, d_s=d_s, lam=lam,
+                     o1x=o1x, o1y=o1y, o1z=o1z,
+                     o2x=o2x, o2y=o2y, o2z=o2z,
+                     inv1=inv1, inv2=inv2,
+                     o1rx=o1rx, o1ry=o1ry, o1rz=o1rz,
+                     o2rx=o2rx, o2ry=o2ry, o2rz=o2rz)
         elif o["interact"] == "mirror":
             dot = _dot3(dx, dy, dz, nxv, nyv, nzv)
             kk = 2.0 * dot
@@ -1033,6 +1185,107 @@ def _trace_bwd(optics, src, P, saved, seeds):
             nbx = nbx + dot_b * d0x
             nby = nby + dot_b * d0y
             nbz = nbz + dot_b * d0z
+        elif o["interact"] == "mosaic":
+            # Reverse of the depth-aware survival estimator:
+            #   cum_l = cum_{l-1} + prob_l * surv_{l-1}
+            #   surv_l = surv_{l-1} * (1 - prob_l)
+            #   w_post = where(mask, w_pre * cum_D, w_pre)
+            #   d_post = reflection at the LAST picked layer (or d_pre).
+            # The reservoir pick indicators are hard edges (zero
+            # gradient) — identical to jax.grad of the XLA estimator.
+            d0x, d0y, d0z = s["dpre"]
+            cum_b = jnp.where(mask, wb * s["w_pre"], 0.0)
+            wb = jnp.where(mask, wb * s["cum"], wb)
+            layers = s["layers"]
+            # ---- direction routing: adjoint goes to the last pick ----
+            d0bx = d0by = d0bz = zeros
+            taken = jnp.zeros_like(mask)
+            refl_route = [None] * len(layers)
+            for li in range(len(layers) - 1, -1, -1):
+                L = layers[li]
+                uf = (L["pick"] & ~taken).astype(zeros.dtype)
+                a = _dot3(dbx, dby, dbz, L["nmx"], L["nmy"], L["nmz"])
+                d0bx = d0bx + uf * (dbx - 2.0 * a * L["nmx"])
+                d0by = d0by + uf * (dby - 2.0 * a * L["nmy"])
+                d0bz = d0bz + uf * (dbz - 2.0 * a * L["nmz"])
+                refl_route[li] = (uf, a)
+                taken = taken | L["pick"]
+            nf = (~taken).astype(zeros.dtype)
+            d0bx = d0bx + nf * dbx
+            d0by = d0by + nf * dby
+            d0bz = d0bz + nf * dbz
+            # ---- per-layer prob + normal chains ----------------------
+            s_b = zeros
+            sinb_b_tot = zeros
+            o1bx = o1by = o1bz = zeros
+            o2bx = o2by = o2bz = zeros
+            for li in range(len(layers) - 1, -1, -1):
+                L = layers[li]
+                prob = L["prob"]
+                prob_b = (cum_b - s_b) * L["surv_prev"]
+                s_b = cum_b * prob + s_b * (1.0 - prob)
+                delta_b = _rock_bwd(o, base, L, prob_b, add_slot, mf,
+                                    zeros)
+                sd = L["sd"]
+                sd_b = delta_b * (1.0 + 0.5 * sd * sd)
+                adot_b = sd_b * (s["cos_b"]
+                                 + L["adot"] / L["cosi"] * s["sin_b"])
+                sinb_b_tot = sinb_b_tot + sd_b * (
+                    -L["adot"] * s["sin_b"] / s["cos_b"] - L["cosi"])
+                dot_b = jnp.sign(L["dotm"]) * adot_b * mf
+                uf, a = refl_route[li]
+                # nm adjoint: reflection (where routed) + dotm chain.
+                nmbx = (-2.0 * uf * (a * d0x + L["dotm"] * dbx)
+                        + dot_b * d0x)
+                nmby = (-2.0 * uf * (a * d0y + L["dotm"] * dby)
+                        + dot_b * d0y)
+                nmbz = (-2.0 * uf * (a * d0z + L["dotm"] * dbz)
+                        + dot_b * d0z)
+                d0bx = d0bx + dot_b * L["nmx"]
+                d0by = d0by + dot_b * L["nmy"]
+                d0bz = d0bz + dot_b * L["nmz"]
+                # nm = gxw o2 + gyw o1 + wn n (gxw/gyw/wn constants).
+                o2bx = o2bx + L["gxw"] * nmbx
+                o2by = o2by + L["gxw"] * nmby
+                o2bz = o2bz + L["gxw"] * nmbz
+                o1bx = o1bx + L["gyw"] * nmbx
+                o1by = o1by + L["gyw"] * nmby
+                o1bz = o1bz + L["gyw"] * nmbz
+                nbx = nbx + L["wn"] * nmbx
+                nby = nby + L["wn"] * nmby
+                nbz = nbz + L["wn"] * nmbz
+            # ---- crystallite basis reverse ---------------------------
+            # o2 = normalize(o2raw), o2raw = cross(n, o1)
+            o2d = (s["o2x"] * o2bx + s["o2y"] * o2by + s["o2z"] * o2bz)
+            o2rbx = s["inv2"] * (o2bx - s["o2x"] * o2d)
+            o2rby = s["inv2"] * (o2by - s["o2y"] * o2d)
+            o2rbz = s["inv2"] * (o2bz - s["o2z"] * o2d)
+            # c = a x b: a_b += b x c_b ; b_b += c_b x a  (a=n, b=o1u)
+            nbx = nbx + (s["o1y"] * o2rbz - s["o1z"] * o2rby)
+            nby = nby + (s["o1z"] * o2rbx - s["o1x"] * o2rbz)
+            nbz = nbz + (s["o1x"] * o2rby - s["o1y"] * o2rbx)
+            o1bx = o1bx + (o2rby * s["nzv"] - o2rbz * s["nyv"])
+            o1by = o1by + (o2rbz * s["nxv"] - o2rbx * s["nzv"])
+            o1bz = o1bz + (o2rbx * s["nyv"] - o2rby * s["nxv"])
+            # o1 = normalize(o1raw), o1raw = (ny, nz - nx, -ny)
+            o1d = (s["o1x"] * o1bx + s["o1y"] * o1by + s["o1z"] * o1bz)
+            o1rbx = s["inv1"] * (o1bx - s["o1x"] * o1d)
+            o1rby = s["inv1"] * (o1by - s["o1y"] * o1d)
+            o1rbz = s["inv1"] * (o1bz - s["o1z"] * o1d)
+            nbx = nbx - o1rby
+            nby = nby + o1rbx - o1rbz
+            nbz = nbz + o1rby
+            # ---- shared Bragg-angle chain (d-spacing + wavelength) ---
+            d_s = s["d_s"]
+            lam = s["lam"]
+            inr = (s["sin_b"] > 0.0) & (s["sin_b"] < 1.0)
+            ds_b = sinb_b_tot * (-lam / (2.0 * jnp.maximum(
+                d_s * d_s, _EPS)))
+            add_slot(base + 13, jnp.where(inr, ds_b, 0.0) * mf)
+            lamb = lamb + jnp.where(
+                inr, sinb_b_tot / (2.0 * jnp.maximum(d_s, _EPS)), 0.0
+            ) * mf
+            dbx, dby, dbz = d0bx, d0by, d0bz
 
         # ---- local coords reverse (image seeds; bounds have no grad) ----
         if o["image"] is not None:
@@ -1363,7 +1616,7 @@ def build_fused_diff(pipeline, num_iter: int | None = None,
     n_slots = _round_up(src_base + (SRC_SLOTS if is_plasma else 0), 8)
     if n_slots > 1024:
         raise FusedGradUnsupported("more than 42 optics")
-    n_draws = src["n_draws"]
+    n_draws = src["n_draws"] + sum(o.get("n_draws", 0) for o in optics)
     images = [(i, o["image"]) for i, o in enumerate(optics) if o["image"]]
     # File rocking curves ride as (1, K) VMEM inputs (kernels cannot
     # capture array constants); the spec keeps each curve's slot index.
@@ -1434,7 +1687,7 @@ def build_fused_diff(pipeline, num_iter: int | None = None,
             saved, images_data, _final = _trace_fwd(
                 optics, src, P, px, py, pz, dx, dy, dz, alive,
                 lam=lam, need_saved=backward, tables=table_vals,
-                w0=w0v,
+                w0=w0v, draw=draw,
             )
 
             if not backward:
@@ -1624,5 +1877,6 @@ def build_fused_diff(pipeline, num_iter: int | None = None,
 
     spec = {"optics": optics, "src": src, "n_slots": n_slots,
             "n_total": n_total, "n_chunks": n_chunks, "chunk": chunk,
-            "image_names": image_names, "tables": table_args}
+            "image_names": image_names, "tables": table_args,
+            "n_draws": n_draws}
     return forward, vjp, pack_params(pipeline), spec
