@@ -492,6 +492,32 @@ def _variant_config(kind):
             "rocking_type": "step", "rocking_fwhm": 8e-4,
         }
         base["optics"]["detector"] = dict(det, pixel_size=0.02)
+    elif kind == "focused_gaussian_voigt":
+        # Round-5 source-matrix closure: focused emission (per-ray
+        # basis), gaussian box, exact-Voigt wavelengths, bulk-velocity
+        # Doppler — all reparameterized (no parameter dependence), so
+        # the adjoint must be unchanged by them.
+        base["sources"]["source"] = {
+            "class_name": "XicsrtSourceFocused",
+            "intensity": 1536, "wavelength": 3.9492,
+            "spatial_dist": "gaussian",
+            "xsize": 0.004, "ysize": 0.004, "zsize": 0.002,
+            "angular_dist": "isotropic", "spread": np.radians(9.0),
+            "target": [0.0, -3e-4, 0.80374151],
+            "wavelength_dist": "voigt",
+            "linewidth": 1e12, "temperature": 1000.0,
+            "mass_number": 40.0,
+            "velocity": [0.0, 1e5, 0.0],
+        }
+        base["optics"]["crystal"] = {
+            "class_name": "XicsrtOpticSphericalCrystal",
+            "origin": [0.0, -3e-4, 0.80374151],
+            "zaxis": [0.0, 0.59497864, -0.80374151],
+            "xsize": 0.2, "ysize": 0.2, "radius": 1.0,
+            "crystal_spacing": 2.45676,
+            "rocking_type": "gaussian", "rocking_fwhm": 1e-3,
+        }
+        base["optics"]["detector"] = dict(det, pixel_size=0.02)
     elif kind == "mosaic_sphere":
         # HOPG mosaic crystal: per-layer crystallite normals + the
         # depth-aware survival/reservoir weight estimator, all
@@ -564,6 +590,7 @@ def _variant_config(kind):
     "zsize_sphere_mirror",
     "plasma_cubic",
     "mosaic_sphere",
+    "focused_gaussian_voigt",
 ])
 def test_hand_adjoint_exact_on_variants(kind):
     """f64 exactness of the hand adjoint across the subset's shapes,

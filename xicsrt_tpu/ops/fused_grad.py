@@ -100,17 +100,11 @@ def _grad_source_spec(source):
         raise FusedGradUnsupported("ray-filtered source")
     spec = _source_spec(source, {})
     if spec["poisson"]:
+        # A Poisson ray count is not reparameterizable (the budget is
+        # integer); the XLA path keeps its count-based semantics.
         raise FusedGradUnsupported("Poisson budget (use counted intensity)")
-    if spec["wave"][0] not in ("mono", "uniform"):
-        raise FusedGradUnsupported(f"wavelength_dist {spec['wave'][0]!r}")
-    if spec["velocity"] is not None:
-        raise FusedGradUnsupported("bulk velocity")
-    if spec["spatial"] not in ("point", "uniform"):
-        raise FusedGradUnsupported(f"spatial_dist {spec['spatial']!r}")
-    if spec["rot"] is None:
-        raise FusedGradUnsupported("focused source")
     if spec["dist"][0] not in ("isotropic", "isotropic_xy", "flat",
-                               "flat_xy"):
+                               "flat_xy", "flat_gaussian"):
         raise FusedGradUnsupported(f"angular_dist {spec['dist'][0]!r}")
     spec["intensity"] = int(source.num_rays)
     return spec
@@ -496,10 +490,16 @@ def _sample_source(src, draw, sub, f32=jnp.float32):
     px = jnp.full((8, sub), ox, f32)
     py = jnp.full((8, sub), oy, f32)
     pz = jnp.full((8, sub), oz, f32)
-    if src["spatial"] == "uniform":
+    if src["spatial"] in ("uniform", "gaussian"):
         for s, brow in zip(src["sizes"], B):
             if s != 0.0:
-                o_l = (draw() - 0.5) * s
+                if src["spatial"] == "uniform":
+                    o_l = (draw() - 0.5) * s
+                else:
+                    # sizes already fwhm->sigma converted (_source_spec).
+                    u = jnp.clip(draw(), 1e-7, 1.0 - 1e-7)
+                    o_l = (math.sqrt(2.0)
+                           * jax.lax.erf_inv(2.0 * u - 1.0)) * s
                 px += o_l * brow[0]
                 py += o_l * brow[1]
                 pz += o_l * brow[2]
@@ -532,21 +532,78 @@ def _sample_source(src, draw, sub, f32=jnp.float32):
         lx = jnp.cos(phi) * r * w
         ly = jnp.sin(phi) * r * w
         lz = w
-    else:  # flat_xy
+    elif dist[0] == "flat_xy":
         _, t0, t1, t2, t3 = dist
         x = t0 + draw() * (t1 - t0)
         y = t2 + draw() * (t3 - t2)
         w = jax.lax.rsqrt(1.0 + x * x + y * y)
         lx, ly, lz = x * w, y * w, w
+    else:  # flat_gaussian (the megakernel's 'gaussian' angular dist)
+        sig = dist[1]
+
+        def _normal():
+            u = jnp.clip(draw(), 1e-7, 1.0 - 1e-7)
+            return math.sqrt(2.0) * jax.lax.erf_inv(2.0 * u - 1.0)
+
+        x = sig * _normal()
+        y = sig * _normal()
+        w = jax.lax.rsqrt(1.0 + x * x + y * y)
+        lx, ly, lz = x * w, y * w, w
     R = src["rot"]
-    dx = lx * R[0][0] + ly * R[1][0] + lz * R[2][0]
-    dy = lx * R[0][1] + ly * R[1][1] + lz * R[2][1]
-    dz = lx * R[0][2] + ly * R[1][2] + lz * R[2][2]
+    if R is not None:
+        dx = lx * R[0][0] + ly * R[1][0] + lz * R[2][0]
+        dy = lx * R[0][1] + ly * R[1][1] + lz * R[2][1]
+        dz = lx * R[0][2] + ly * R[1][2] + lz * R[2][2]
+    else:
+        # Focused source: per-ray emission axis n = (target - p)/|.|,
+        # per-ray basis o1 = cross(n, bx + bz), o2 = cross(n, o1)
+        # (megakernel focused block / vec.orthogonal_basis). Source
+        # sampling carries no parameter dependence, so this is
+        # forward-only (reparameterized MC).
+        tx_, ty_, tz_ = src["target"]
+        nx_ = tx_ - px
+        ny_ = ty_ - py
+        nz_ = tz_ - pz
+        inv = jax.lax.rsqrt(jnp.maximum(
+            nx_ * nx_ + ny_ * ny_ + nz_ * nz_, 1e-30))
+        nx_, ny_, nz_ = nx_ * inv, ny_ * inv, nz_ * inv
+        hx = B[0][0] + B[2][0]
+        hy = B[0][1] + B[2][1]
+        hz = B[0][2] + B[2][2]
+        o1x = ny_ * hz - nz_ * hy
+        o1y = nz_ * hx - nx_ * hz
+        o1z = nx_ * hy - ny_ * hx
+        inv = jax.lax.rsqrt(jnp.maximum(
+            o1x * o1x + o1y * o1y + o1z * o1z, 1e-30))
+        o1x, o1y, o1z = o1x * inv, o1y * inv, o1z * inv
+        o2x = ny_ * o1z - nz_ * o1y
+        o2y = nz_ * o1x - nx_ * o1z
+        o2z = nx_ * o1y - ny_ * o1x
+        dx = lx * o2x + ly * o1x + lz * nx_
+        dy = lx * o2y + ly * o1y + lz * ny_
+        dz = lx * o2z + ly * o1z + lz * nz_
     wave = src["wave"]
     if wave[0] == "uniform":
         lam = wave[1] + draw() * (wave[2] - wave[1])
+    elif wave[0] == "voigt":
+        # Exact Voigt = Gauss(sigma) + Cauchy(gamma) (megakernel /
+        # plasma.py decomposition); sigma/gamma are static source
+        # parameters here (the plasma path differentiates T).
+        _, w0_, sigma_, gamma_ = wave
+        lam = jnp.full((8, sub), w0_, f32)
+        if sigma_ > 0.0:
+            u = jnp.clip(draw(), 1e-7, 1.0 - 1e-7)
+            lam = lam + sigma_ * (
+                math.sqrt(2.0) * jax.lax.erf_inv(2.0 * u - 1.0))
+        if gamma_ > 0.0:
+            uc = jnp.clip(draw(), 1e-7, 1.0 - 1e-7)
+            lam = lam + gamma_ * jnp.tan(math.pi * (uc - 0.5))
     else:
         lam = src["wavelength"]  # scalar; broadcasts
+    if src.get("velocity") is not None:
+        vx_, vy_, vz_ = src["velocity"]
+        lam = lam * (1.0 - (vx_ * dx + vy_ * dy + vz_ * dz)
+                     * (1.0 / 299792458.0))
     return px, py, pz, dx, dy, dz, lam
 
 
