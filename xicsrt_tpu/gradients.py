@@ -133,9 +133,14 @@ def make_fused_differentiable(config: dict, num_iter: int | None = None,
       on-chip (validated against jax.grad at f64 rtol 1e-9,
       ``tests/test_fused_grad.py``).
 
-    Raises ``FusedGradUnsupported`` outside the subset (plane/sphere
-    optics, gaussian rocking, directed/monochrome counted sources); the
-    XLA path (``make_differentiable``) covers everything else.
+    Raises ``FusedGradUnsupported`` outside the subset —
+    plane/sphere/cylinder/torus optics with mirror/crystal/mosaic
+    interactions (gaussian/step/file rocking), counted-budget
+    generic/directed/focused sources (any spatial/angular dist except
+    asymmetric isotropic_xy; mono/uniform/voigt wavelengths, Doppler)
+    and constant-profile plasmas with emissivity/temperature gradients;
+    the XLA path (``make_differentiable``) covers everything else
+    (Poisson budgets, meshes, profile-shaped plasmas, f64).
 
     Multi-chip: pass ``mesh``/``n_devices`` to shard the photon load —
     each device seeds its own ray stream from its mesh position, the
