@@ -116,7 +116,7 @@ def l2_image_loss(image, target):
 
 
 def make_fused_differentiable(config: dict, num_iter: int | None = None,
-                              chunk: int = 8192,
+                              chunk: int = 32768,
                               interpret: bool | None = None,
                               mesh=None, n_devices: int | None = None):
     """Fused-kernel differentiable path (``ops/fused_grad.py``).

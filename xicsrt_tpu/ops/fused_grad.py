@@ -1639,7 +1639,7 @@ def _trace_bwd(optics, src, P, saved, seeds):
 # ---------------------------------------------------------------------------
 
 def build_fused_diff(pipeline, num_iter: int | None = None,
-                     chunk: int = 8192, interpret: bool = False,
+                     chunk: int = 32768, interpret: bool = False,
                      rng: str | None = None):
     """Compile the forward and adjoint kernels for a pipeline.
 
