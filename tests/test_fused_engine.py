@@ -366,6 +366,34 @@ class TestSampledHistoryReservoir:
         result = self._run()
         assert plot_intersect(result, "detector") is not None
 
+    def test_degradation_to_full_history_warns(self, caplog):
+        """engine='auto' + a config outside the fused subset: the bounded
+        reservoir silently degrading to FULL per-ray history must warn
+        (round-4 advisor finding)."""
+        import logging
+
+        from xicsrt_tpu.engine import build_runner
+
+        config = _spectrometer(1 << 10, engine="auto",
+                               keep_history="sampled")
+        # Faceted mesh optics are outside every fused path.
+        config["optics"]["crystal"] = {
+            "class_name": "XicsrtOpticMeshCrystal",
+            "origin": [0.0, 0.0, 0.80374151],
+            "zaxis": [0.0, 0.59497864, -0.80374151],
+            "xsize": 0.2, "ysize": 0.2,
+            "mesh_points": [[-0.1, -0.1, 0.0], [0.1, -0.1, 0.0],
+                            [-0.1, 0.1, 0.0], [0.1, 0.1, 0.0]],
+            "mesh_faces": [[0, 1, 2], [1, 3, 2]],
+            "mesh_interpolate": False,
+            "crystal_spacing": 2.45676,
+            "rocking_type": "gaussian", "rocking_fwhm": 48.070e-6,
+        }
+        with caplog.at_level(logging.WARNING, logger="xicsrt_tpu"):
+            build_runner(config)
+        assert any("degrades to FULL per-ray history" in r.message
+                   for r in caplog.records), caplog.records
+
 
 class TestWidenedSubset:
     """Round-3 widening: extended/Poisson/voigt/focused sources and
