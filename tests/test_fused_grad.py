@@ -532,6 +532,7 @@ def _variant_config(kind):
             "rocking_type": "gaussian", "rocking_fwhm": 5e-4,
             "mosaic_spread": np.radians(0.05),
             "mosaic_depth": 6,
+            "mosaic_cutoff": 1e-4,  # hard prefilter: zero gradient
         }
         base["optics"]["detector"] = dict(det, pixel_size=0.02)
     elif kind == "plasma_cubic":

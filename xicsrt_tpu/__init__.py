@@ -30,6 +30,11 @@ import xicsrt_tpu.filters  # noqa: E402,F401
 import xicsrt_tpu.optics  # noqa: E402,F401
 import xicsrt_tpu.sources  # noqa: E402,F401
 from xicsrt_tpu.engine import combine_raytrace, raytrace, raytrace_single  # noqa: F401
+from xicsrt_tpu.gradients import (  # noqa: F401
+    align,
+    make_differentiable,
+    make_fused_differentiable,
+)
 from xicsrt_tpu.public import get_element  # noqa: F401
 from xicsrt_tpu.utils.version import warn_version  # noqa: F401
 

@@ -454,6 +454,7 @@ def unpack_grads(pipeline, gvec):
         out[o.name] = {
             "origin": gvec[b:b + 3].copy(),
             "basis": gvec[b + 3:b + 12].reshape(3, 3).copy(),
+            # slot 12 holds radius_major for toroidal optics.
             "radius": float(gvec[b + 12]),
             "crystal_spacing": float(gvec[b + 13]),
             "rocking_fwhm": float(gvec[b + 14]),
