@@ -492,6 +492,20 @@ def _variant_config(kind):
             "rocking_type": "step", "rocking_fwhm": 8e-4,
         }
         base["optics"]["detector"] = dict(det, pixel_size=0.02)
+    elif kind == "asym_xy_crystal":
+        # Asymmetric isotropic_xy bounds: the in-sampler Newton CDF
+        # inversion (parameter-independent, forward-only).
+        src.update(angular_dist="isotropic_xy",
+                   spread=[-0.15, 0.15, -0.05, 0.12])
+        base["optics"]["crystal"] = {
+            "class_name": "XicsrtOpticSphericalCrystal",
+            "origin": [0.0, -3e-4, 0.80374151],
+            "zaxis": [0.0, 0.59497864, -0.80374151],
+            "xsize": 0.2, "ysize": 0.2, "radius": 1.0,
+            "crystal_spacing": 2.45676,
+            "rocking_type": "gaussian", "rocking_fwhm": 1e-3,
+        }
+        base["optics"]["detector"] = dict(det, pixel_size=0.02)
     elif kind == "focused_gaussian_voigt":
         # Round-5 source-matrix closure: focused emission (per-ray
         # basis), gaussian box, exact-Voigt wavelengths, bulk-velocity
@@ -592,6 +606,7 @@ def _variant_config(kind):
     "plasma_cubic",
     "mosaic_sphere",
     "focused_gaussian_voigt",
+    "asym_xy_crystal",
 ])
 def test_hand_adjoint_exact_on_variants(kind):
     """f64 exactness of the hand adjoint across the subset's shapes,

@@ -103,7 +103,8 @@ def _grad_source_spec(source):
         # A Poisson ray count is not reparameterizable (the budget is
         # integer); the XLA path keeps its count-based semantics.
         raise FusedGradUnsupported("Poisson budget (use counted intensity)")
-    if spec["dist"][0] not in ("isotropic", "isotropic_xy", "flat",
+    if spec["dist"][0] not in ("isotropic", "isotropic_xy",
+                               "isotropic_xy_asym", "flat",
                                "flat_xy", "flat_gaussian"):
         raise FusedGradUnsupported(f"angular_dist {spec['dist'][0]!r}")
     spec["intensity"] = int(source.num_rays)
@@ -517,6 +518,38 @@ def _sample_source(src, draw, sub, f32=jnp.float32):
         _, g0, g1, sb1, tyl, tyh = dist
         u, v = draw(), draw()
         sx = jnp.sin((g0 + u * (g1 - g0)) * 0.5) / sb1
+        tx = sx * jax.lax.rsqrt(jnp.maximum(1.0 - sx * sx, 1e-12))
+        k2 = 1.0 + tx * tx
+        h0 = tyl * jax.lax.rsqrt(k2 + tyl * tyl)
+        h1 = tyh * jax.lax.rsqrt(k2 + tyh * tyh)
+        h = h0 + v * (h1 - h0)
+        ty = jnp.sqrt(k2) * h * jax.lax.rsqrt(
+            jnp.maximum(1.0 - h * h, 1e-12))
+        w = jax.lax.rsqrt(1.0 + tx * tx + ty * ty)
+        lx, ly, lz = tx * w, ty * w, w
+    elif dist[0] == "isotropic_xy_asym":
+        # Asymmetric y-bounds: bracket-clamped Newton on the
+        # arcsin-difference marginal CDF — the megakernel's sampler
+        # verbatim (fused_trace isotropic_xy_asym block; Mosaic-safe
+        # polynomial arcsin). Sampling is parameter-independent, so
+        # this is forward-only.
+        from xicsrt_tpu.ops.polynomials import acos_kernel
+
+        _, sx0, sx1, sb0, sb1, g0, g1, tyl, tyh = dist
+
+        def asin_k(x):
+            return math.pi / 2.0 - acos_kernel(jnp.clip(x, -1.0, 1.0))
+
+        u, v = draw(), draw()
+        targ = g0 + u * (g1 - g0)
+        sx = sx0 + u * (sx1 - sx0)
+        for _ in range(12):
+            gm = asin_k(sx * sb1) - asin_k(sx * sb0)
+            dg = sb1 * jax.lax.rsqrt(jnp.maximum(
+                1.0 - (sx * sb1) ** 2, 1e-12)) - sb0 * jax.lax.rsqrt(
+                jnp.maximum(1.0 - (sx * sb0) ** 2, 1e-12))
+            sx = jnp.clip(
+                sx - (gm - targ) / jnp.maximum(dg, 1e-12), sx0, sx1)
         tx = sx * jax.lax.rsqrt(jnp.maximum(1.0 - sx * sx, 1e-12))
         k2 = 1.0 + tx * tx
         h0 = tyl * jax.lax.rsqrt(k2 + tyl * tyl)
