@@ -136,11 +136,11 @@ def make_fused_differentiable(config: dict, num_iter: int | None = None,
     Raises ``FusedGradUnsupported`` outside the subset —
     plane/sphere/cylinder/torus optics with mirror/crystal/mosaic
     interactions (gaussian/step/file rocking), counted-budget
-    generic/directed/focused sources (any spatial/angular dist except
-    asymmetric isotropic_xy; mono/uniform/voigt wavelengths, Doppler)
-    and constant-profile plasmas with emissivity/temperature gradients;
-    the XLA path (``make_differentiable``) covers everything else
-    (Poisson budgets, meshes, profile-shaped plasmas, f64).
+    generic/directed/focused sources (any spatial/angular dist;
+    mono/uniform/voigt wavelengths, Doppler) and constant-profile
+    plasmas with emissivity/temperature gradients; the XLA path
+    (``make_differentiable``) covers everything else (Poisson budgets,
+    meshes, profile-shaped plasmas, f64).
 
     Multi-chip: pass ``mesh``/``n_devices`` to shard the photon load —
     each device seeds its own ray stream from its mesh position, the

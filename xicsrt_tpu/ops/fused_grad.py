@@ -18,11 +18,13 @@ problem (``_InteractCrystal.py:96-196``, ``_GeometryObject.py:137-168``,
 
 Supported subset (``FusedGradUnsupported`` otherwise):
 
-- source: Generic/Directed, point or uniform-box spatial, isotropic /
-  isotropic_xy (symmetric) / flat / flat_xy angular, monochrome or
-  uniform-band wavelengths, counted (non-Poisson) budget — gradients w.r.t. source
-  parameters are zero by reparameterization (sampling is independent of
-  optic parameters), matching the XLA path's semantics;
+- source: Generic/Directed/Focused, point / uniform / gaussian spatial,
+  isotropic / isotropic_xy (incl. asymmetric) / flat / flat_xy /
+  gaussian angular, monochrome / uniform-band / exact-Voigt
+  wavelengths, bulk-velocity Doppler, counted (non-Poisson) budget —
+  generic-source sampling carries no parameter dependence
+  (reparameterized MC, matching the XLA path's semantics); plasma
+  sources additionally differentiate emissivity and temperature;
 - optics: chains of plane/sphere/cylinder/torus shapes (the torus root
   converges on stop-gradient copies and differentiates through ONE
   explicit Newton correction — the implicit-function adjoint) with
